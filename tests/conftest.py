@@ -15,6 +15,12 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+import jax  # noqa: E402
+
+# This environment defaults matmuls to low precision (the right default for
+# TPU MXU throughput); numerical parity tests need full f32 accumulation.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
