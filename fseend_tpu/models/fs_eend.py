@@ -1,0 +1,326 @@
+"""FS-EEND: frame-wise streaming EEND with non-autoregressive attractors.
+
+TPU-native re-design of the reference model family
+(/root/reference/FS-EEND/nnet/model/onl_tfm_enc_1dcnn_enc_linear_non_autoreg_pos_enc_l2norm.py
+and .../streaming_tfm_enc_1dcnn_enc_linear_non_autoreg_pos_enc_l2norm.py):
+
+  masked batch mode and per-frame streaming mode share ONE parameter pytree
+  (the reference needs a weight transplant between two different nn.Modules,
+  copy_params.py:7-62 — here they are the same params applied differently).
+
+Architecture (reference onl_tfm...py:10-224):
+  enc:  BatchNorm1d(345) -> Linear(345,256) -> LayerNorm
+        -> 4x causal TransformerEncoderLayer (post-norm)
+  cnn:  Conv1d(k=2*delay+1, pad=delay): +-delay look-ahead => `delay` frames
+        of algorithmic latency
+  dec:  speaker-slot sinusoidal PE as queries, convert=Linear(512,256) on
+        concat(emb, PE), then dec_n_layers x fusion layers
+        (causal time-attention per slot + unmasked speaker-attention per
+        frame + shared FFN, merge_tfm_encoder.py:356-399)
+  out:  logits[b,t,s] = <emb[b,t], attractor[b,t,s]> after L2 norm of both.
+
+Streaming is a `lax.scan` over frames carrying a `FSStreamState` pytree with
+*fixed-capacity* per-layer KV caches (static shapes for XLA; the reference
+grows python deques, streaming_tfm.py:28-37).  Caches hold post-projection
+per-head k/v so each step is O(t * d) attention + O(d^2) projections.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from fseend_tpu.ops import nn
+
+Params = dict
+
+
+@dataclasses.dataclass(frozen=True)
+class FSEENDConfig:
+    in_size: int = 345
+    n_units: int = 256
+    n_heads: int = 4
+    enc_n_layers: int = 4
+    dec_n_layers: int = 2
+    enc_dim_feedforward: int = 2048
+    dec_dim_feedforward: int = 2048
+    dropout: float = 0.1
+    conv_delay: int = 9
+    mask_delay: int = 0
+    max_nspks: int = 6  # attractor slots incl. silence(0) and none(last) = max_speakers + 2
+    pe_max_len: int = 5000
+
+    @property
+    def conv_kernel_size(self) -> int:
+        return 2 * self.conv_delay + 1
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def init_fs_eend(key, cfg: FSEENDConfig):
+    """Returns (params, state). state = batch-norm running statistics."""
+    keys = jax.random.split(key, 6 + cfg.enc_n_layers + cfg.dec_n_layers)
+    bn_p, bn_s = nn.batch_norm_init(cfg.in_size)
+    enc_layers = [
+        nn.transformer_layer_init(keys[6 + i], cfg.n_units, cfg.n_heads, cfg.enc_dim_feedforward)
+        for i in range(cfg.enc_n_layers)
+    ]
+    dec_layers = [
+        init_fusion_layer(keys[6 + cfg.enc_n_layers + i], cfg.n_units, cfg.n_heads,
+                          cfg.dec_dim_feedforward)
+        for i in range(cfg.dec_n_layers)
+    ]
+    params = {
+        "enc": {
+            "bn": bn_p,
+            "proj": nn.uniform_linear_init(keys[0], cfg.in_size, cfg.n_units),
+            "norm": nn.layer_norm_init(cfg.n_units),
+            "layers": enc_layers,
+        },
+        "cnn": nn.conv1d_init(keys[1], cfg.n_units, cfg.n_units, cfg.conv_kernel_size),
+        "dec": {
+            "convert": nn.torch_linear_init(keys[2], 2 * cfg.n_units, cfg.n_units),
+            "layers": dec_layers,
+        },
+    }
+    state = {"bn": bn_s}
+    return params, state
+
+
+def init_fusion_layer(key, d_model: int, n_heads: int, dim_ff: int) -> Params:
+    """Joint time+speaker attention layer (merge_tfm_encoder.py:197-233)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "time_attn": nn.mha_init(k1, d_model, n_heads),
+        "spk_attn": nn.mha_init(k2, d_model, n_heads),
+        "linear1": nn.torch_linear_init(k3, d_model, dim_ff),
+        "linear2": nn.torch_linear_init(k4, dim_ff, d_model),
+        "norm11": nn.layer_norm_init(d_model),
+        "norm12": nn.layer_norm_init(d_model),  # allocated-but-unused, like the ref
+        "norm21": nn.layer_norm_init(d_model),
+        "norm22": nn.layer_norm_init(d_model),
+    }
+
+
+# ---------------------------------------------------------------------------
+# batch (masked) mode
+# ---------------------------------------------------------------------------
+
+
+def fusion_layer(p: Params, x: jnp.ndarray, t_mask: jnp.ndarray, *,
+                 rng=None, rate: float = 0.0, train: bool = False) -> jnp.ndarray:
+    """x: (B, T, C, D). Causal attention over T per slot, full attention over
+    C per frame, shared FFN; post-norm (merge_tfm_encoder.py:356-374)."""
+    r = jax.random.split(rng, 4) if rng is not None else [None] * 4
+    B, T, C, D = x.shape
+    # time attention: treat (B, C) as batch dims
+    xt = x.swapaxes(1, 2)  # (B, C, T, D)
+    a = nn.mha(p["time_attn"], xt, xt, xt, t_mask, rng=r[0], dropout_rate=rate, train=train)
+    xt = nn.layer_norm(p["norm11"], xt + nn.dropout(r[1], a, rate, train))
+    x = xt.swapaxes(1, 2)  # (B, T, C, D)
+    # speaker attention: treat (B, T) as batch dims
+    a = nn.mha(p["spk_attn"], x, x, x, None, rng=r[2], dropout_rate=rate, train=train)
+    x = nn.layer_norm(p["norm21"], x + nn.dropout(r[3], a, rate, train))
+    x = nn.layer_norm(p["norm22"], x + nn.ff_block(p, x, rng=None, rate=rate, train=train))
+    return x
+
+
+def encode(params: Params, state, cfg: FSEENDConfig, xs: jnp.ndarray, lens: jnp.ndarray,
+           *, train: bool = False, rngs=None):
+    """xs: (B, T, in_size) padded; lens: (B,). Returns (emb (B,T,D), new_state).
+
+    Padding protocol mirrors the reference: BN sees pad value -1
+    (onl_tfm...py:165), encoder output is re-padded with 0 before the conv
+    (onl_tfm...py:38-39).
+    """
+    B, T, _ = xs.shape
+    len_mask = (jnp.arange(T)[None, :] < lens[:, None])  # (B, T)
+    xs = jnp.where(len_mask[..., None], xs, -1.0)
+    h, bn_state = nn.batch_norm(params["enc"]["bn"], state["bn"], xs, train=train)
+    h = nn.layer_norm(params["enc"]["norm"], nn.linear(params["enc"]["proj"], h))
+    t_mask = nn.causal_mask(T, cfg.mask_delay)
+    rs = jax.random.split(rngs, cfg.enc_n_layers) if rngs is not None else [None] * cfg.enc_n_layers
+    for i, lp in enumerate(params["enc"]["layers"]):
+        h = nn.transformer_layer(lp, h, t_mask, rng=rs[i], rate=cfg.dropout, train=train)
+    h = jnp.where(len_mask[..., None], h, 0.0)
+    return h, {"bn": bn_state}
+
+
+def decode(params: Params, cfg: FSEENDConfig, emb: jnp.ndarray, n_slots: int, *,
+           train: bool = False, rngs=None) -> jnp.ndarray:
+    """emb: (B, T, D) -> attractors (B, T, n_slots, D) (pre-L2norm)."""
+    B, T, D = emb.shape
+    pe = nn.sinusoidal_table(cfg.pe_max_len, cfg.n_units)[:n_slots]  # (C, D)
+    x = jnp.concatenate(
+        [jnp.broadcast_to(emb[:, :, None, :], (B, T, n_slots, D)),
+         jnp.broadcast_to(pe[None, None], (B, T, n_slots, D))], axis=-1)
+    x = nn.linear(params["dec"]["convert"], x)
+    t_mask = nn.causal_mask(T, cfg.mask_delay)
+    rs = jax.random.split(rngs, cfg.dec_n_layers) if rngs is not None else [None] * cfg.dec_n_layers
+    for i, lp in enumerate(params["dec"]["layers"]):
+        x = fusion_layer(lp, x, t_mask, rng=rs[i], rate=cfg.dropout, train=train)
+    return x
+
+
+def fs_forward(params: Params, state, cfg: FSEENDConfig, xs: jnp.ndarray,
+               lens: jnp.ndarray, n_slots: int, *, train: bool = False, rngs=None):
+    """Full batch pass. Returns dict with logits (B,T,n_slots), emb (B,T,D)
+    (post conv+L2norm), attractors (B,T,n_slots,D) (post L2norm), state."""
+    r_enc, r_dec = (jax.random.split(rngs) if rngs is not None else (None, None))
+    h, new_state = encode(params, state, cfg, xs, lens, train=train, rngs=r_enc)
+    emb = nn.lookahead_conv(params["cnn"], h, cfg.conv_delay)
+    emb = nn.l2_normalize(emb)
+    attractors = decode(params, cfg, emb, n_slots, train=train, rngs=r_dec)
+    attractors = nn.l2_normalize(attractors)
+    logits = jnp.einsum("btd,btcd->btc", emb, attractors,
+                        preferred_element_type=jnp.float32)
+    return {"logits": logits, "emb": emb, "attractors": attractors, "state": new_state}
+
+
+def fs_test(params: Params, state, cfg: FSEENDConfig, xs, lens, max_nspks: int | None = None):
+    """Inference entry (reference model.test, onl_tfm...py:67-84): run with
+    max_speakers+2 attractor slots; caller drops slot 0 (silence) and applies
+    sigmoid."""
+    n_slots = max_nspks if max_nspks is not None else cfg.max_nspks
+    return fs_forward(params, state, cfg, xs, lens, n_slots, train=False)
+
+
+# ---------------------------------------------------------------------------
+# streaming mode — fixed-capacity caches + lax.scan
+# ---------------------------------------------------------------------------
+
+
+def fs_stream_init(cfg: FSEENDConfig, batch: int, capacity: int, n_slots: int | None = None,
+                   dtype=jnp.float32) -> Params:
+    """Allocate the StreamState pytree for `batch` parallel streams.
+
+    capacity = max frames the stream will see (KV caches are preallocated —
+    FS-EEND streaming state is inherently O(t), SURVEY.md §3.2)."""
+    H, D = cfg.n_heads, cfg.n_units
+    hd = D // H
+    C = n_slots if n_slots is not None else cfg.max_nspks
+    return {
+        "t": jnp.zeros((), jnp.int32),  # frames pushed so far
+        "emitted": jnp.zeros((), jnp.int32),  # decoder steps taken
+        "enc_kv": [
+            {"k": jnp.zeros((batch, H, capacity, hd), dtype),
+             "v": jnp.zeros((batch, H, capacity, hd), dtype)}
+            for _ in range(cfg.enc_n_layers)
+        ],
+        "conv_buf": jnp.zeros((batch, cfg.conv_kernel_size, D), dtype),
+        "dec_kv": [
+            {"k": jnp.zeros((batch, C, H, capacity, hd), dtype),
+             "v": jnp.zeros((batch, C, H, capacity, hd), dtype)}
+            for _ in range(cfg.dec_n_layers)
+        ],
+    }
+
+
+def _cached_attention(attn_p: Params, x_q: jnp.ndarray, cache: Params, idx: jnp.ndarray):
+    """Single-query attention against a fixed-capacity cache.
+
+    x_q: (..., D) one frame. Writes this frame's k/v at `idx`, attends over
+    positions [0, idx]. Returns (out (..., D), new_cache)."""
+    q, k, v = nn.mha_project_qkv(attn_p, x_q[..., None, :], x_q[..., None, :], x_q[..., None, :])
+    # q/k/v: (..., H, 1, hd)
+    new_k = jax.lax.dynamic_update_index_in_dim(cache["k"], k[..., 0, :], idx, axis=-2)
+    new_v = jax.lax.dynamic_update_index_in_dim(cache["v"], v[..., 0, :], idx, axis=-2)
+    cap = cache["k"].shape[-2]
+    mask = jnp.where(jnp.arange(cap) <= idx, 0.0, nn.NEG_INF)  # (cap,)
+    out = nn.mha_core(q, new_k, new_v, mask[None, :])  # (..., H, 1, hd)
+    out = nn._merge_heads(out)[..., 0, :]
+    out = nn.linear(attn_p["out_proj"], out)
+    return out, {"k": new_k, "v": new_v}
+
+
+def fs_stream_step(params: Params, state: Params, cfg: FSEENDConfig, bn_state,
+                   x_t: jnp.ndarray, n_slots: int, flush=False):
+    """One streaming step for a batch of streams.
+
+    x_t: (B, in_size) — the frame at time state["t"].  After the real input
+    ends, call `conv_delay` more steps with flush=True: a zero vector is
+    pushed into the conv buffer *without* running the encoder, reproducing
+    the reference's dummy_conv_input flush (streaming_infer_dia.py:82-86,
+    streaming_tfm...py:41-42).
+
+    Returns (new_state, out) where out = dict(logits (B, n_slots),
+    emb (B, D), valid: bool scalar — False during the first `conv_delay`
+    steps when the look-ahead conv has no output yet).
+    """
+    t = state["t"]
+    B = x_t.shape[0]
+    flush = jnp.asarray(flush)
+    # --- encoder (eval-mode BN: running stats) ---
+    h, _ = nn.batch_norm(params["enc"]["bn"], bn_state, x_t, train=False)
+    h = nn.layer_norm(params["enc"]["norm"], nn.linear(params["enc"]["proj"], h))
+    new_enc_kv = []
+    for lp, cache in zip(params["enc"]["layers"], state["enc_kv"]):
+        a, new_cache = _cached_attention(lp["self_attn"], h, cache, t)
+        new_cache = jax.tree.map(
+            lambda new, old: jnp.where(flush, old, new), new_cache, cache)
+        h = nn.layer_norm(lp["norm1"], h + a)
+        h = nn.layer_norm(lp["norm2"], h + nn.ff_block(lp, h))
+        new_enc_kv.append(new_cache)
+    # flush steps push zeros into the conv, bypassing the encoder
+    h = jnp.where(flush, 0.0, h)
+    # --- look-ahead conv ring buffer ---
+    conv_buf = jnp.concatenate([state["conv_buf"][:, 1:], h[:, None, :]], axis=1)
+    y = jnp.einsum("bkd,kdo->bo", conv_buf, params["cnn"]["kernel"]) + params["cnn"]["bias"]
+    valid = t >= cfg.conv_delay  # conv output exists for frame t - conv_delay
+    emb = nn.l2_normalize(y)
+    # --- decoder (runs on valid frames only; cache writes are gated) ---
+    u = state["emitted"]
+    pe = nn.sinusoidal_table(cfg.pe_max_len, cfg.n_units)[:n_slots]  # (C, D)
+    x = jnp.concatenate(
+        [jnp.broadcast_to(emb[:, None, :], (B, n_slots, cfg.n_units)),
+         jnp.broadcast_to(pe[None], (B, n_slots, cfg.n_units))], axis=-1)
+    x = nn.linear(params["dec"]["convert"], x)  # (B, C, D)
+    new_dec_kv = []
+    for lp, cache in zip(params["dec"]["layers"], state["dec_kv"]):
+        a, new_cache = _cached_attention(lp["time_attn"], x, cache, u)
+        new_cache = jax.tree.map(
+            lambda new, old: jnp.where(valid, new, old), new_cache, cache)
+        x = nn.layer_norm(lp["norm11"], x + a)
+        s = nn.mha(lp["spk_attn"], x, x, x, None)
+        x = nn.layer_norm(lp["norm21"], x + s)
+        x = nn.layer_norm(lp["norm22"], x + nn.ff_block(lp, x))
+        new_dec_kv.append(new_cache)
+    attractors = nn.l2_normalize(x)
+    logits = jnp.einsum("bd,bcd->bc", emb, attractors, preferred_element_type=jnp.float32)
+    new_state = {
+        "t": jnp.where(flush, t, t + 1),
+        "emitted": jnp.where(valid, u + 1, u),
+        "enc_kv": new_enc_kv,
+        "conv_buf": conv_buf,
+        "dec_kv": new_dec_kv,
+    }
+    return new_state, {"logits": logits, "emb": emb, "valid": valid}
+
+
+def fs_stream_scan(params: Params, state: Params, cfg: FSEENDConfig, bn_state,
+                   xs: jnp.ndarray, n_slots: int):
+    """Fused scan over a whole (B, T, F) clip: feeds T frames + conv_delay
+    zero-flush frames, returns time-aligned (B, T, n_slots) logits.
+
+    This is the latency path compiled ONCE; per-frame serving uses
+    `fs_stream_step` directly (see fseend_tpu/serving)."""
+    B, T, F = xs.shape
+    pad = jnp.zeros((B, cfg.conv_delay, F), xs.dtype)
+    seq = jnp.concatenate([xs, pad], axis=1).swapaxes(0, 1)  # (T+delay, B, F)
+    flush = jnp.arange(T + cfg.conv_delay) >= T
+
+    def step(carry, inp):
+        x_t, fl = inp
+        new_state, out = fs_stream_step(params, carry, cfg, bn_state, x_t, n_slots,
+                                        flush=fl)
+        return new_state, (out["logits"], out["emb"])
+
+    _, (logits, emb) = jax.lax.scan(step, state, (seq, flush))
+    # outputs at scan step t correspond to input frame t - conv_delay
+    return logits[cfg.conv_delay:].swapaxes(0, 1), emb[cfg.conv_delay:].swapaxes(0, 1)

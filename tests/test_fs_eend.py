@@ -1,0 +1,107 @@
+"""FS-EEND model tests: shapes, masking, and batch==streaming equivalence
+(the reference's own key verification, streaming_infer_dia.py:97)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fseend_tpu.models import fs_eend as M
+
+CFG = M.FSEENDConfig(
+    in_size=23, n_units=32, n_heads=4, enc_n_layers=2, dec_n_layers=2,
+    enc_dim_feedforward=64, dec_dim_feedforward=64, dropout=0.1,
+    conv_delay=3, max_nspks=4,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    params, state = M.init_fs_eend(jax.random.PRNGKey(0), CFG)
+    return params, state
+
+
+def test_forward_shapes(model, rng):
+    params, state = model
+    B, T = 2, 16
+    xs = jnp.asarray(rng.standard_normal((B, T, CFG.in_size)), jnp.float32)
+    lens = jnp.array([16, 12])
+    out = M.fs_forward(params, state, CFG, xs, lens, n_slots=4, train=False)
+    assert out["logits"].shape == (B, T, 4)
+    assert out["emb"].shape == (B, T, CFG.n_units)
+    assert out["attractors"].shape == (B, T, 4, CFG.n_units)
+    # attractors and emb are L2-normalized
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out["emb"][0, 0])), 1.0, atol=1e-5)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out["attractors"][0, 0, 0])), 1.0, atol=1e-5)
+
+
+def test_causality(model, rng):
+    """Changing future input must not change past output beyond conv_delay."""
+    params, state = model
+    B, T = 1, 20
+    xs = rng.standard_normal((B, T, CFG.in_size)).astype(np.float32)
+    out1 = M.fs_forward(params, state, CFG, jnp.asarray(xs), jnp.array([T]), 4)
+    xs2 = xs.copy()
+    xs2[:, 15:] += 10.0
+    out2 = M.fs_forward(params, state, CFG, jnp.asarray(xs2), jnp.array([T]), 4)
+    # frames < 15 - conv_delay are unaffected (conv has +-delay look-ahead)
+    horizon = 15 - CFG.conv_delay
+    np.testing.assert_allclose(
+        np.asarray(out1["logits"][:, :horizon]),
+        np.asarray(out2["logits"][:, :horizon]), atol=1e-5)
+    # and some later frame IS affected (sanity that the test can fail)
+    assert np.abs(np.asarray(out1["logits"][:, 16:]) -
+                  np.asarray(out2["logits"][:, 16:])).max() > 1e-3
+
+
+def test_streaming_equals_batch(model, rng):
+    """Frame-by-frame streaming must reproduce the masked batch pass to 1e-4
+    (reference asserts the same, FS-EEND/streaming_infer_dia.py:97)."""
+    params, state = model
+    B, T = 2, 24
+    xs = jnp.asarray(rng.standard_normal((B, T, CFG.in_size)), jnp.float32)
+    lens = jnp.full((B,), T)
+    batch = M.fs_forward(params, state, CFG, xs, lens, n_slots=4, train=False)
+
+    st = M.fs_stream_init(CFG, B, capacity=T + CFG.conv_delay, n_slots=4)
+    logits_s, emb_s = M.fs_stream_scan(params, st, CFG, state["bn"], xs, n_slots=4)
+    np.testing.assert_allclose(
+        np.asarray(logits_s), np.asarray(batch["logits"]), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(emb_s), np.asarray(batch["emb"]), atol=1e-4)
+
+
+def test_streaming_step_by_step_matches_scan(model, rng):
+    """Single-step API (serving path) == fused scan."""
+    params, state = model
+    B, T = 1, 10
+    xs = jnp.asarray(rng.standard_normal((B, T, CFG.in_size)), jnp.float32)
+    st = M.fs_stream_init(CFG, B, capacity=T + CFG.conv_delay, n_slots=4)
+    outs = []
+    step = jax.jit(
+        lambda s, x, f: M.fs_stream_step(params, s, CFG, state["bn"], x, 4, flush=f))
+    seq = jnp.concatenate(
+        [xs, jnp.zeros((B, CFG.conv_delay, CFG.in_size))], axis=1)
+    for t in range(T + CFG.conv_delay):
+        st, out = step(st, seq[:, t], jnp.asarray(t >= T))
+        outs.append(out["logits"])
+    manual = jnp.stack(outs[CFG.conv_delay:], axis=1)
+
+    st2 = M.fs_stream_init(CFG, B, capacity=T + CFG.conv_delay, n_slots=4)
+    logits_s, _ = M.fs_stream_scan(params, st2, CFG, state["bn"], xs, n_slots=4)
+    np.testing.assert_allclose(np.asarray(manual), np.asarray(logits_s), atol=1e-5)
+
+
+def test_train_mode_runs_with_dropout(model, rng):
+    params, state = model
+    B, T = 2, 8
+    xs = jnp.asarray(rng.standard_normal((B, T, CFG.in_size)), jnp.float32)
+    lens = jnp.full((B,), T)
+    out = M.fs_forward(params, state, CFG, xs, lens, 4, train=True,
+                       rngs=jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(out["logits"])).all()
+    # BN running stats updated in train mode
+    assert not np.allclose(np.asarray(out["state"]["bn"]["mean"]),
+                           np.asarray(state["bn"]["mean"]))
