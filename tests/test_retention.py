@@ -74,7 +74,7 @@ def test_recurrent_step_formula_by_hand(p):
     state = R.retention_state_init(cfg, B)
     for t in range(T):
         _, state = R.retention_recurrent_step(p, x[:, t], state, cfg)
-    S = jnp.einsum("btv,btk->vk", v[0, :, 0], k[0, :, 0]) / np.sqrt(T)
+    S = jnp.einsum("tv,tk->vk", v[0, :, 0], k[0, :, 0]) / np.sqrt(T)
     np.testing.assert_allclose(np.asarray(state["kv"][0, 0]), np.asarray(S), atol=1e-5)
     np.testing.assert_allclose(float(state["scale"][0, 0]), T, atol=1e-6)
 
