@@ -1,0 +1,422 @@
+"""LS-EEND: long-form streaming EEND (conformer-retention encoder +
+retention attractor decoder, O(1)-state streaming).
+
+TPU-native re-design of
+/root/reference/LS-EEND/nnet/model/onl_conformer_retention_enc_1dcnn_tfm_retention_enc_linear_non_autoreg_pos_enc_l2norm_emb_loss_mask.py
+plus its submodules (conformer/{encoder,convolution,attention,feed_forward}.py
+and modules/merge_retnet_layer.py).
+
+Three compile modes over ONE parameter pytree:
+  * batch/chunkwise (training): conformer blocks with chunkwise retention,
+    sequences padded to a multiple of ``chunk_size`` exactly like the
+    reference (onl_conformer...py:82-85);
+  * recurrent streaming: a per-frame `lax.scan` carrying `LSStreamState` —
+    retention kv states + causal-conv rings per block; state size is O(1) in
+    stream length (THE reason this model family exists, SURVEY.md §5.7);
+  * one-step API for real-time serving (same function the scan uses).
+
+Conformer block (encoder.py:76-110): ½FF → retention (pre-LN) → causal conv
+module → ½FF → LN; the conv module (convolution.py:138-152) is
+LN → pointwise(2D) → GLU → causal depthwise(k) → BatchNorm1d → swish →
+pointwise → dropout.
+
+Decoder fusion layer (merge_retnet_layer.py:233-276): time axis = retention
+(chunkwise in training, recurrent in streaming), speaker axis = full MHA,
+shared FFN, post-norm.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from fseend_tpu.ops import nn
+from fseend_tpu.ops import retention as R
+
+Params = dict
+
+
+@dataclasses.dataclass(frozen=True)
+class LSEENDConfig:
+    in_size: int = 345
+    n_units: int = 256
+    n_heads: int = 4
+    enc_n_layers: int = 4
+    dec_n_layers: int = 2
+    dropout: float = 0.1
+    chunk_size: int = 500              # retention recurrent_chunk_size
+    ff_expansion: int = 4              # feed_forward_expansion_factor
+    conv_expansion: int = 2
+    conv_kernel_size: int = 16         # conformer causal depthwise conv
+    dec_dim_feedforward: int = 2048
+    conv_delay: int = 9                # look-ahead cnn between enc and dec
+    mask_delay: int = 0
+    max_nspks: int = 10                # max_speakers + 2
+    pe_max_len: int = 5000
+    half_step_residual: bool = True
+
+    @property
+    def lookahead_kernel(self) -> int:
+        return 2 * self.conv_delay + 1
+
+    @property
+    def ret_cfg(self) -> R.RetentionConfig:
+        return R.RetentionConfig(self.n_units, self.n_heads, 1, self.chunk_size)
+
+    @property
+    def ff_factor(self) -> float:
+        return 0.5 if self.half_step_residual else 1.0
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _init_ff(key, d: int, expansion: int) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "norm": nn.layer_norm_init(d),
+        "linear1": nn.torch_linear_init(k1, d, d * expansion),
+        "linear2": nn.torch_linear_init(k2, d * expansion, d),
+    }
+
+
+def _init_conv_module(key, d: int, expansion: int, kernel: int):
+    k1, k2, k3 = jax.random.split(key, 3)
+    bn_p, bn_s = nn.batch_norm_init(d)
+    params = {
+        "norm": nn.layer_norm_init(d),
+        "pw1": nn.torch_linear_init(k1, d, d * expansion),
+        "dw": nn.conv1d_init(k2, d, d, kernel, groups=d, bias=False),
+        "bn": bn_p,
+        "pw2": nn.torch_linear_init(k3, d, d),
+    }
+    return params, bn_s
+
+
+def _init_block(key, cfg: LSEENDConfig):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    conv_p, conv_s = _init_conv_module(k3, cfg.n_units, cfg.conv_expansion,
+                                       cfg.conv_kernel_size)
+    params = {
+        "ff1": _init_ff(k1, cfg.n_units, cfg.ff_expansion),
+        "ret_norm": nn.layer_norm_init(cfg.n_units),
+        "ret": R.init_retention(k2, cfg.ret_cfg),
+        "conv": conv_p,
+        "ff2": _init_ff(k4, cfg.n_units, cfg.ff_expansion),
+        "final_norm": nn.layer_norm_init(cfg.n_units),
+    }
+    return params, conv_s
+
+
+def init_fusion_layer(key, cfg: LSEENDConfig) -> Params:
+    """Retention fusion decoder layer (merge_retnet_layer.py:71-96)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "time_ret": R.init_retention(k1, cfg.ret_cfg),
+        "spk_attn": nn.mha_init(k2, cfg.n_units, cfg.n_heads),
+        "linear1": nn.torch_linear_init(k3, cfg.n_units, cfg.dec_dim_feedforward),
+        "linear2": nn.torch_linear_init(k4, cfg.dec_dim_feedforward, cfg.n_units),
+        "norm11": nn.layer_norm_init(cfg.n_units),
+        "norm21": nn.layer_norm_init(cfg.n_units),
+        "norm22": nn.layer_norm_init(cfg.n_units),
+    }
+
+
+def init_ls_eend(key, cfg: LSEENDConfig):
+    keys = jax.random.split(key, 4 + cfg.enc_n_layers + cfg.dec_n_layers)
+    blocks, conv_states = [], []
+    for i in range(cfg.enc_n_layers):
+        p, s = _init_block(keys[4 + i], cfg)
+        blocks.append(p)
+        conv_states.append(s)
+    params = {
+        "enc": {
+            "proj": nn.xavier_linear_init(keys[0], cfg.in_size, cfg.n_units),
+            "norm": nn.layer_norm_init(cfg.n_units),
+            "blocks": blocks,
+        },
+        "cnn": nn.conv1d_init(keys[1], cfg.n_units, cfg.n_units, cfg.lookahead_kernel),
+        "dec": {
+            "convert": nn.torch_linear_init(keys[2], 2 * cfg.n_units, cfg.n_units),
+            "layers": [init_fusion_layer(keys[4 + cfg.enc_n_layers + i], cfg)
+                       for i in range(cfg.dec_n_layers)],
+        },
+    }
+    state = {"conv_bn": conv_states}
+    return params, state
+
+
+# ---------------------------------------------------------------------------
+# batch/chunkwise mode (training + offline inference)
+# ---------------------------------------------------------------------------
+
+
+def _ff(p: Params, x, *, rng=None, rate=0.0, train=False):
+    """FeedForwardModule (feed_forward.py:47-57): LN→Linear→swish→Drop→Linear→Drop."""
+    r1, r2 = jax.random.split(rng) if rng is not None else (None, None)
+    h = nn.layer_norm(p["norm"], x)
+    h = nn.dropout(r1, jax.nn.silu(nn.linear(p["linear1"], h)), rate, train)
+    return nn.dropout(r2, nn.linear(p["linear2"], h), rate, train)
+
+
+def _conv_module(p: Params, bn_state, x, cfg: LSEENDConfig, *, rng=None,
+                 rate=0.0, train=False):
+    """ConformerConvModule batch form (convolution.py:138-152)."""
+    h = nn.layer_norm(p["norm"], x)
+    h = nn.linear(p["pw1"], h)
+    a, b = jnp.split(h, 2, axis=-1)
+    h = a * jax.nn.sigmoid(b)  # GLU over channel dim
+    h = nn.causal_depthwise_conv(p["dw"], h, cfg.conv_kernel_size)
+    h, bn_state = nn.batch_norm(p["bn"], bn_state, h, train=train)
+    h = jax.nn.silu(h)
+    h = nn.linear(p["pw2"], h)
+    return nn.dropout(rng, h, rate, train), bn_state
+
+
+def _retention_seq(p, x, cfg: LSEENDConfig, time_mode: str):
+    """Whole-sequence retention in the requested mode. `chunkwise` is the
+    training default (merge_retnet_layer.py:286-287); `recurrent` reproduces
+    streaming exactly (used by parity tests, like the reference's
+    forward_recurrent); `parallel` for short sequences."""
+    rc = cfg.ret_cfg
+    if time_mode == "chunkwise":
+        return R.retention_chunkwise(p, x, rc)
+    if time_mode == "recurrent":
+        return R.retention_recurrent(p, x, rc)
+    if time_mode == "parallel":
+        return R.retention_parallel(p, x, rc)
+    raise ValueError(f"unknown time_mode: {time_mode}")
+
+
+def _block(p: Params, bn_state, x, cfg: LSEENDConfig, *, rng=None, train=False,
+           time_mode: str = "chunkwise"):
+    """ConformerEncoderBlock batch form (encoder.py:112-113)."""
+    rs = jax.random.split(rng, 4) if rng is not None else [None] * 4
+    rate = cfg.dropout
+    x = x + cfg.ff_factor * _ff(p["ff1"], x, rng=rs[0], rate=rate, train=train)
+    h = nn.layer_norm(p["ret_norm"], x)
+    h = _retention_seq(p["ret"], h, cfg, time_mode)
+    x = x + nn.dropout(rs[1], h, rate, train)
+    h, bn_state = _conv_module(p["conv"], bn_state, x, cfg, rng=rs[2], rate=rate,
+                               train=train)
+    x = x + h
+    x = x + cfg.ff_factor * _ff(p["ff2"], x, rng=rs[3], rate=rate, train=train)
+    return nn.layer_norm(p["final_norm"], x), bn_state
+
+
+def encode(params: Params, state, cfg: LSEENDConfig, xs: jnp.ndarray, *,
+           train=False, rngs=None, time_mode: str = "chunkwise"):
+    """xs: (B, T, in_size) with T % chunk_size == 0 (pad upstream)."""
+    h = nn.layer_norm(params["enc"]["norm"], nn.linear(params["enc"]["proj"], xs))
+    rs = (jax.random.split(rngs, cfg.enc_n_layers) if rngs is not None
+          else [None] * cfg.enc_n_layers)
+    new_bn = []
+    for i, bp in enumerate(params["enc"]["blocks"]):
+        h, s = _block(bp, state["conv_bn"][i], h, cfg, rng=rs[i], train=train,
+                      time_mode=time_mode)
+        new_bn.append(s)
+    return h, {"conv_bn": new_bn}
+
+
+def fusion_layer(p: Params, x: jnp.ndarray, cfg: LSEENDConfig, *, rng=None,
+                 train=False, time_mode: str = "chunkwise") -> jnp.ndarray:
+    """x: (B, T, C, D). Chunkwise retention over T per slot; MHA over C per
+    frame; FFN; post-norm (merge_retnet_layer.py:233-253)."""
+    rs = jax.random.split(rng, 4) if rng is not None else [None] * 4
+    rate = cfg.dropout
+    B, T, C, D = x.shape
+    xt = x.swapaxes(1, 2).reshape(B * C, T, D)
+    a = _retention_seq(p["time_ret"], xt, cfg, time_mode)
+    xt = nn.layer_norm(p["norm11"], xt + nn.dropout(rs[0], a, rate, train))
+    x = xt.reshape(B, C, T, D).swapaxes(1, 2)
+    a = nn.mha(p["spk_attn"], x, x, x, None, rng=rs[1], dropout_rate=rate, train=train)
+    x = nn.layer_norm(p["norm21"], x + nn.dropout(rs[2], a, rate, train))
+    x = nn.layer_norm(p["norm22"], x + nn.ff_block(p, x, rng=rs[3], rate=rate,
+                                                   train=train))
+    return x
+
+
+def decode(params: Params, cfg: LSEENDConfig, emb: jnp.ndarray, n_slots: int, *,
+           train=False, rngs=None, time_mode: str = "chunkwise") -> jnp.ndarray:
+    B, T, D = emb.shape
+    pe = nn.sinusoidal_table(cfg.pe_max_len, cfg.n_units)[:n_slots]
+    x = jnp.concatenate(
+        [jnp.broadcast_to(emb[:, :, None, :], (B, T, n_slots, D)),
+         jnp.broadcast_to(pe[None, None], (B, T, n_slots, D))], axis=-1)
+    x = nn.linear(params["dec"]["convert"], x)
+    rs = (jax.random.split(rngs, cfg.dec_n_layers) if rngs is not None
+          else [None] * cfg.dec_n_layers)
+    for i, lp in enumerate(params["dec"]["layers"]):
+        x = fusion_layer(lp, x, cfg, rng=rs[i], train=train, time_mode=time_mode)
+    return x
+
+
+def pad_to_chunk(xs: jnp.ndarray, chunk: int) -> jnp.ndarray:
+    T = xs.shape[1]
+    pad = (-T) % chunk
+    if pad:
+        xs = jnp.pad(xs, ((0, 0), (0, pad), (0, 0)))
+    return xs
+
+
+def ls_forward(params: Params, state, cfg: LSEENDConfig, xs: jnp.ndarray,
+               lens: jnp.ndarray, n_slots: int, *, train=False, rngs=None,
+               time_mode: str = "chunkwise"):
+    """Full batch pass. xs (B, T, F) is padded to a chunk multiple internally
+    (reference pads both before the encoder and before the cnn,
+    onl_conformer...py:82-85 + EmbeddingEncoderModule:282-283)."""
+    r_enc, r_dec = jax.random.split(rngs) if rngs is not None else (None, None)
+    T0 = xs.shape[1]
+    xs = pad_to_chunk(xs, cfg.chunk_size)
+    T = xs.shape[1]
+    len_mask = jnp.arange(T)[None, :] < lens[:, None]
+    xs = jnp.where(len_mask[..., None], xs, 0.0)
+    h, new_state = encode(params, state, cfg, xs, train=train, rngs=r_enc,
+                          time_mode=time_mode)
+    h = jnp.where(len_mask[..., None], h, 0.0)  # re-pad with zeros before cnn
+    emb = nn.lookahead_conv(params["cnn"], h, cfg.conv_delay)
+    emb = nn.l2_normalize(emb)
+    attractors = decode(params, cfg, emb, n_slots, train=train, rngs=r_dec,
+                        time_mode=time_mode)
+    attractors = nn.l2_normalize(attractors)
+    logits = jnp.einsum("btd,btcd->btc", emb, attractors,
+                        preferred_element_type=jnp.float32)
+    return {
+        "logits": logits[:, :T0],
+        "emb": emb[:, :T0],
+        "attractors": attractors[:, :T0],
+        "state": new_state,
+    }
+
+
+def ls_test(params: Params, state, cfg: LSEENDConfig, xs, lens,
+            max_nspks: int | None = None):
+    n_slots = max_nspks if max_nspks is not None else cfg.max_nspks
+    return ls_forward(params, state, cfg, xs, lens, n_slots, train=False)
+
+
+# ---------------------------------------------------------------------------
+# streaming mode — O(1) state per stream
+# ---------------------------------------------------------------------------
+
+
+def ls_stream_init(cfg: LSEENDConfig, batch: int, n_slots: int | None = None,
+                   dtype=jnp.float32) -> Params:
+    """O(1)-size StreamState: retention kv states + conv rings. NO growth with
+    stream length (contrast fs_eend.fs_stream_init)."""
+    C = n_slots if n_slots is not None else cfg.max_nspks
+    rc = cfg.ret_cfg
+    return {
+        "t": jnp.zeros((), jnp.int32),
+        "enc": [
+            {"ret": R.retention_state_init(rc, batch, dtype),
+             "conv": jnp.zeros((batch, cfg.conv_kernel_size - 1, cfg.n_units), dtype)}
+            for _ in range(cfg.enc_n_layers)
+        ],
+        "cnn_buf": jnp.zeros((batch, cfg.lookahead_kernel, cfg.n_units), dtype),
+        "dec": [R.retention_state_init(rc, batch * C, dtype)
+                for _ in range(cfg.dec_n_layers)],
+    }
+
+
+def _conv_module_step(p: Params, bn_state, x_t: jnp.ndarray, cache: jnp.ndarray,
+                      cfg: LSEENDConfig):
+    """One-step causal conv module (convolution.py:154-167). x_t: (B, D);
+    cache: (B, k-1, D) post-GLU history."""
+    h = nn.layer_norm(p["norm"], x_t)
+    h = nn.linear(p["pw1"], h)
+    a, b = jnp.split(h, 2, axis=-1)
+    h = a * jax.nn.sigmoid(b)  # (B, D)
+    window = jnp.concatenate([cache, h[:, None, :]], axis=1)  # (B, k, D)
+    new_cache = window[:, 1:]
+    # depthwise conv over the window: kernel (k, 1, D)
+    y = jnp.einsum("bkd,kd->bd", window, p["dw"]["kernel"][:, 0, :])
+    y, _ = nn.batch_norm(p["bn"], bn_state, y, train=False)
+    y = jax.nn.silu(y)
+    y = nn.linear(p["pw2"], y)
+    return y, new_cache
+
+
+def _block_step(p: Params, bn_state, x_t: jnp.ndarray, st: Params,
+                cfg: LSEENDConfig):
+    """One-step conformer block (encoder.py:115-123)."""
+    x = x_t + cfg.ff_factor * _ff(p["ff1"], x_t)
+    h = nn.layer_norm(p["ret_norm"], x)
+    h, ret_state = R.retention_recurrent_step(p["ret"], h, st["ret"], cfg.ret_cfg)
+    x = x + h
+    h, conv_cache = _conv_module_step(p["conv"], bn_state, x, st["conv"], cfg)
+    x = x + h
+    x = x + cfg.ff_factor * _ff(p["ff2"], x)
+    x = nn.layer_norm(p["final_norm"], x)
+    return x, {"ret": ret_state, "conv": conv_cache}
+
+
+def ls_stream_step(params: Params, state: Params, cfg: LSEENDConfig, model_state,
+                   x_t: jnp.ndarray, n_slots: int, flush=False):
+    """One O(1) streaming step. x_t: (B, in_size). flush=True pushes a zero
+    vector into the look-ahead cnn without running the encoder
+    (LS streaming_infer_dia.py:91-95). Returns (new_state, out)."""
+    t = state["t"]
+    B = x_t.shape[0]
+    flush = jnp.asarray(flush)
+    # --- conformer encoder, one frame ---
+    h = nn.layer_norm(params["enc"]["norm"], nn.linear(params["enc"]["proj"], x_t))
+    new_enc = []
+    for bp, bs, st in zip(params["enc"]["blocks"], model_state["conv_bn"], state["enc"]):
+        h, new_st = _block_step(bp, bs, h, st, cfg)
+        new_st = jax.tree.map(lambda new, old: jnp.where(flush, old, new), new_st, st)
+        new_enc.append(new_st)
+    h = jnp.where(flush, 0.0, h)
+    # --- look-ahead cnn ring ---
+    cnn_buf = jnp.concatenate([state["cnn_buf"][:, 1:], h[:, None, :]], axis=1)
+    y = jnp.einsum("bkd,kdo->bo", cnn_buf, params["cnn"]["kernel"]) + params["cnn"]["bias"]
+    valid = t >= cfg.conv_delay
+    emb = nn.l2_normalize(y)
+    # --- retention attractor decoder, one frame ---
+    pe = nn.sinusoidal_table(cfg.pe_max_len, cfg.n_units)[:n_slots]
+    x = jnp.concatenate(
+        [jnp.broadcast_to(emb[:, None, :], (B, n_slots, cfg.n_units)),
+         jnp.broadcast_to(pe[None], (B, n_slots, cfg.n_units))], axis=-1)
+    x = nn.linear(params["dec"]["convert"], x)  # (B, C, D)
+    new_dec = []
+    for lp, st in zip(params["dec"]["layers"], state["dec"]):
+        xt = x.reshape(B * n_slots, cfg.n_units)
+        a, ret_state = R.retention_recurrent_step(lp["time_ret"], xt, st, cfg.ret_cfg)
+        ret_state = jax.tree.map(
+            lambda new, old: jnp.where(valid, new, old), ret_state, st)
+        x = nn.layer_norm(lp["norm11"], x + a.reshape(B, n_slots, cfg.n_units))
+        s = nn.mha(lp["spk_attn"], x, x, x, None)
+        x = nn.layer_norm(lp["norm21"], x + s)
+        x = nn.layer_norm(lp["norm22"], x + nn.ff_block(lp, x))
+        new_dec.append(ret_state)
+    attractors = nn.l2_normalize(x)
+    logits = jnp.einsum("bd,bcd->bc", emb, attractors, preferred_element_type=jnp.float32)
+    new_state = {
+        "t": jnp.where(flush, t, t + 1),
+        "enc": new_enc,
+        "cnn_buf": cnn_buf,
+        "dec": new_dec,
+    }
+    return new_state, {"logits": logits, "emb": emb, "valid": valid}
+
+
+def ls_stream_scan(params: Params, state: Params, cfg: LSEENDConfig, model_state,
+                   xs: jnp.ndarray, n_slots: int):
+    """Whole-clip fused streaming scan, time-aligned to the batch output."""
+    B, T, F = xs.shape
+    pad = jnp.zeros((B, cfg.conv_delay, F), xs.dtype)
+    seq = jnp.concatenate([xs, pad], axis=1).swapaxes(0, 1)
+    flush = jnp.arange(T + cfg.conv_delay) >= T
+
+    def step(carry, inp):
+        x_t, fl = inp
+        new_state, out = ls_stream_step(params, carry, cfg, model_state, x_t,
+                                        n_slots, flush=fl)
+        return new_state, (out["logits"], out["emb"])
+
+    _, (logits, emb) = jax.lax.scan(step, state, (seq, flush))
+    return logits[cfg.conv_delay:].swapaxes(0, 1), emb[cfg.conv_delay:].swapaxes(0, 1)

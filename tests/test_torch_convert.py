@@ -1,0 +1,77 @@
+"""End-to-end parity with the reference models via the checkpoint converter.
+
+Goldens were generated once from random-initialized reference models in eval
+mode (state dicts + inputs + outputs stored as data); the framework must
+reproduce reference `model.test` outputs bit-closely after conversion.
+This is the guarantee that released reference checkpoints work here.
+"""
+
+import pathlib
+
+import jax.numpy as jnp
+import numpy as np
+
+from fseend_tpu.models import fs_eend as FS
+from fseend_tpu.models import ls_eend as LS
+from fseend_tpu.utils import torch_convert as TC
+
+GOLDENS = pathlib.Path(__file__).parent / "goldens"
+
+
+def _load(name):
+    g = np.load(GOLDENS / name)
+    sd = {k[len("sd__"):]: g[k] for k in g.files if k.startswith("sd__")}
+    return g, sd
+
+
+def test_fs_checkpoint_parity():
+    g, sd = _load("fs_model_ref.npz")
+    cfg = FS.FSEENDConfig(in_size=23, n_units=32, n_heads=4, enc_n_layers=2,
+                          dec_n_layers=2, enc_dim_feedforward=2048,
+                          dec_dim_feedforward=64, conv_delay=9, max_nspks=4)
+    params, state = TC.fs_from_state_dict(sd, cfg)
+    xs = jnp.asarray(g["x"])
+    out = FS.fs_test(params, state, cfg, xs, jnp.array([16, 16]), max_nspks=4)
+    np.testing.assert_allclose(np.asarray(out["logits"]), g["logits"], atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["emb"]), g["emb"], atol=2e-4)
+
+
+def test_ls_checkpoint_parity():
+    g, sd = _load("ls_model_ref.npz")
+    cfg = LS.LSEENDConfig(in_size=23, n_units=32, n_heads=4, enc_n_layers=2,
+                          dec_n_layers=2, chunk_size=8, ff_expansion=2,
+                          conv_kernel_size=5, dec_dim_feedforward=64,
+                          conv_delay=3, max_nspks=4)
+    params, state = TC.ls_from_state_dict(sd, cfg)
+    xs = jnp.asarray(g["x"])
+    out = LS.ls_test(params, state, cfg, xs, jnp.array([16, 16]), max_nspks=4)
+    np.testing.assert_allclose(np.asarray(out["logits"]), g["logits"], atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["emb"]), g["emb"], atol=2e-4)
+
+
+def test_ls_streaming_on_converted_weights():
+    """Converted reference weights drive the O(1) streaming path too; batch
+    (recurrent mode) == streaming on real (not just random-init) params."""
+    g, sd = _load("ls_model_ref.npz")
+    cfg = LS.LSEENDConfig(in_size=23, n_units=32, n_heads=4, enc_n_layers=2,
+                          dec_n_layers=2, chunk_size=8, ff_expansion=2,
+                          conv_kernel_size=5, dec_dim_feedforward=64,
+                          conv_delay=3, max_nspks=4)
+    params, state = TC.ls_from_state_dict(sd, cfg)
+    xs = jnp.asarray(g["x"])
+    batch = LS.ls_forward(params, state, cfg, xs, jnp.array([16, 16]), 4,
+                          time_mode="recurrent")
+    st = LS.ls_stream_init(cfg, 2, n_slots=4)
+    logits_s, _ = LS.ls_stream_scan(params, st, cfg, state, xs, n_slots=4)
+    np.testing.assert_allclose(np.asarray(logits_s), np.asarray(batch["logits"]),
+                               atol=1e-4)
+    # and the streaming output is within the reference's accepted drift of the
+    # chunkwise golden (LS streaming_infer_dia.py checks atol=1e-3)
+    assert float(np.abs(np.asarray(logits_s) - g["logits"]).max()) < 5e-2
+
+
+def test_average_state_dicts():
+    sd1 = {"a": np.ones((2, 2), np.float32)}
+    sd2 = {"a": np.full((2, 2), 3.0, np.float32)}
+    avg = TC.average_state_dicts([sd1, sd2])
+    np.testing.assert_allclose(avg["a"], 2.0)
