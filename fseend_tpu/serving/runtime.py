@@ -1,0 +1,137 @@
+"""Batched multi-stream streaming runtime — the production serving path.
+
+The reference's streaming inference is a python loop over frames calling a
+torch module per frame (FS-EEND/streaming_infer_dia.py:77-81,
+LS-EEND/streaming_infer_dia.py:52-97) for ONE stream.  Here:
+
+  * N independent audio streams are served by ONE compiled step whose state
+    is a batched `StreamState` pytree resident in HBM (`vmap` is implicit —
+    every state tensor has a leading lane axis);
+  * per-frame dispatch overhead is amortized by `stream_block`: a
+    `lax.scan` over a block of K frames compiled once (SURVEY.md §7 "the
+    serving loop itself must be a fused scan, not a Python loop of jitted
+    steps");
+  * lanes can be reset individually (a new call replaces a finished one)
+    with no recompilation — state reset is a `where` on the lane mask.
+
+LS-EEND lanes carry O(1) state; FS-EEND lanes carry bounded KV caches
+(capacity = max call length).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fseend_tpu.models import fs_eend, ls_eend
+
+
+@dataclasses.dataclass
+class StreamingServer:
+    """Multi-stream server over one model family."""
+
+    kind: str                 # "fs" | "ls"
+    cfg: Any
+    params: Any
+    model_state: Any
+    n_lanes: int
+    n_slots: int
+    capacity: int = 4096      # fs only: max frames per call
+    dtype: Any = jnp.float32
+
+    def __post_init__(self):
+        self.state = self._init_state()
+        self._zero_state = self.state
+        self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+        self._block = jax.jit(self._block_impl, donate_argnums=(0,))
+        self._reset = jax.jit(self._reset_impl, donate_argnums=(0,))
+
+    def _init_state(self):
+        if self.kind == "fs":
+            return fs_eend.fs_stream_init(self.cfg, self.n_lanes, self.capacity,
+                                          self.n_slots, self.dtype)
+        return ls_eend.ls_stream_init(self.cfg, self.n_lanes, self.n_slots,
+                                      self.dtype)
+
+    # -- single frame ------------------------------------------------------
+    def _step_impl(self, state, x_t, flush):
+        if self.kind == "fs":
+            return fs_eend.fs_stream_step(self.params, state, self.cfg,
+                                          self.model_state["bn"], x_t,
+                                          self.n_slots, flush)
+        return ls_eend.ls_stream_step(self.params, state, self.cfg,
+                                      self.model_state, x_t, self.n_slots, flush)
+
+    def step(self, frames: np.ndarray, flush: bool = False):
+        """frames: (n_lanes, in_size) -> probs (n_lanes, n_slots-1)
+        (sigmoid, silence slot dropped — dia_pred.py:53-56)."""
+        self.state, out = self._step(self.state, jnp.asarray(frames),
+                                     jnp.asarray(flush))
+        return jax.nn.sigmoid(out["logits"][:, 1:]), out["valid"]
+
+    # -- block of frames (throughput path) ---------------------------------
+    def _block_impl(self, state, xs, flush):
+        def body(carry, inp):
+            x_t, fl = inp
+            new_state, out = self._step_impl(carry, x_t, fl)
+            return new_state, (out["logits"], out["valid"])
+
+        state, (logits, valid) = jax.lax.scan(
+            body, state, (xs.swapaxes(0, 1), flush))
+        return state, (logits.swapaxes(0, 1), valid)
+
+    def process_block(self, frames: np.ndarray, flush=None):
+        """frames: (n_lanes, K, in_size); flush: (K,) bool or None."""
+        K = frames.shape[1]
+        if flush is None:
+            flush = jnp.zeros((K,), bool)
+        self.state, (logits, valid) = self._block(
+            self.state, jnp.asarray(frames), jnp.asarray(flush))
+        return jax.nn.sigmoid(logits[:, :, 1:]), valid
+
+    # -- lane management ---------------------------------------------------
+    def _reset_impl(self, state, lane_mask):
+        def reset_leaf(cur, zero):
+            if cur.ndim == 0:
+                return cur  # global frame counter handled per-lane below? no:
+            # every lane-indexed tensor has the lane axis first
+            if cur.shape[:1] == (self.n_lanes,):
+                m = lane_mask.reshape((self.n_lanes,) + (1,) * (cur.ndim - 1))
+                return jnp.where(m, zero, cur)
+            return cur
+
+        return jax.tree.map(reset_leaf, state, self._zero_state)
+
+    def reset_lanes(self, lanes):
+        """Reset the given lane indices to fresh-stream state.
+
+        NOTE: the scalar step counter is shared; lane-level reset is exact
+        for LS (state is position-independent with γ=1) and approximate for
+        FS (cache validity window). For FS, prefer draining a full batch.
+        """
+        mask = np.zeros((self.n_lanes,), bool)
+        mask[np.asarray(lanes)] = True
+        self.state = self._reset(self.state, jnp.asarray(mask))
+
+
+def stream_file(server: StreamingServer, feats: np.ndarray, block: int = 128):
+    """Convenience: run one recording through lane-broadcast streaming,
+    returning time-aligned probabilities (handles the conv-delay flush)."""
+    T, Fdim = feats.shape
+    delay = server.cfg.conv_delay
+    xs = np.broadcast_to(feats[None], (server.n_lanes, T, Fdim))
+    pad = np.zeros((server.n_lanes, delay, Fdim), feats.dtype)
+    xs = np.concatenate([xs, pad], axis=1)
+    flush = np.arange(T + delay) >= T
+    probs = []
+    for st in range(0, T + delay, block):
+        ed = min(st + block, T + delay)
+        p, valid = server.process_block(xs[:, st:ed], flush[st:ed])
+        probs.append(np.asarray(p[0]))
+    out = np.concatenate(probs, axis=0)
+    return out[delay:]
