@@ -1,0 +1,100 @@
+"""Checkpoint save/load/average for param/state pytrees (SURVEY.md §5.4).
+
+Self-contained npz format (no orbax version coupling): leaves are stored
+under their "/".joined tree paths; static_int metadata is reconstructed from
+a template at load.  Includes the reference's uniform checkpoint averaging
+(FS-EEND/utlis/avg_ckpt.py:6-22, post-train averaging train_dia.py:166-184).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+from pathlib import Path
+
+import jax
+import numpy as np
+
+
+def _flatten(tree):
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    out = {}
+    for path, leaf in flat:
+        parts = []
+        for p in path:
+            parts.append(str(p.key) if hasattr(p, "key") else str(p.idx))
+        out["/".join(parts)] = np.asarray(leaf)
+    return out
+
+
+def save_pytree(path: str | Path, tree, extra: dict | None = None) -> None:
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    data = _flatten(tree)
+    if extra:
+        for k, v in extra.items():
+            data[f"__extra__/{k}"] = np.asarray(v)
+    np.savez(path, **data)
+
+
+def load_flat(path: str | Path) -> dict:
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
+def load_pytree(path: str | Path, template):
+    """Load into the structure of `template` (which supplies static metadata
+    and tree structure)."""
+    flat = load_flat(path)
+
+    def fill(p, leaf):
+        parts = []
+        for x in p:
+            parts.append(str(x.key) if hasattr(x, "key") else str(x.idx))
+        key = "/".join(parts)
+        if key not in flat:
+            raise KeyError(f"checkpoint missing leaf {key}")
+        arr = flat[key]
+        assert arr.shape == tuple(leaf.shape), f"{key}: {arr.shape} vs {leaf.shape}"
+        return arr
+
+    return jax.tree_util.tree_map_with_path(fill, template)
+
+
+def load_extra(path: str | Path) -> dict:
+    return {k[len("__extra__/"):]: v for k, v in load_flat(path).items()
+            if k.startswith("__extra__/")}
+
+
+def average_checkpoints(paths: list[str | Path], template):
+    """Uniform average over checkpoint files (the reference's DER-critical
+    10-epoch parameter average, FS-EEND/README.md:56)."""
+    flats = [load_flat(p) for p in paths]
+
+    def avg(p, leaf):
+        parts = []
+        for x in p:
+            parts.append(str(x.key) if hasattr(x, "key") else str(x.idx))
+        key = "/".join(parts)
+        stack = np.stack([f[key].astype(np.float64) for f in flats])
+        return stack.mean(0).astype(flats[0][key].dtype)
+
+    return jax.tree_util.tree_map_with_path(avg, template)
+
+
+def find_epoch_checkpoints(folder: str | Path, start_epoch: int | None = None,
+                           end_epoch: int | None = None) -> list[Path]:
+    """Epoch-range checkpoint selection (train_dia.py:166-184 filters
+    'epoch=N' from filenames)."""
+    out = []
+    for p in sorted(Path(folder).glob("*.npz")):
+        m = re.search(r"epoch=?(\d+)", p.name)
+        if m is None:
+            continue
+        ep = int(m.group(1))
+        if start_epoch is not None and ep < start_epoch:
+            continue
+        if end_epoch is not None and ep > end_epoch:
+            continue
+        out.append(p)
+    return out
