@@ -80,6 +80,9 @@ def compute_loss(task: TaskConfig, cfg, params, model_state, batch, rng, *,
     feats, labels, lens, n_spk = (batch["feats"], batch["labels"], batch["lens"],
                                   batch["n_spk"])
     B, T, S = labels.shape
+    if task.model == "eda":
+        return _compute_loss_eda(task, cfg, params, model_state, batch, rng,
+                                 train=train)
     n_slots = S + 2
     slot_labels, slot_mask = labels_lib.prepare_labels(labels, lens, n_spk)
 
@@ -119,6 +122,31 @@ def compute_loss(task: TaskConfig, cfg, params, model_state, batch, rng, *,
     metrics = {"pit_loss": pit_loss, "emb_loss": emb_loss, "tot_loss": total,
                **counters}
     return total, (out["state"], metrics)
+
+
+def _compute_loss_eda(task: TaskConfig, cfg, params, model_state, batch, rng, *,
+                      train: bool):
+    """EEND-EDA protocol (reference F19, offl_tfm_lstm.py:49-123): PIT over
+    ALL speaker columns + attractor-existence BCE; no silence/none slots."""
+    from fseend_tpu.models import eend_eda
+
+    feats, labels, lens, n_spk = (batch["feats"], batch["labels"], batch["lens"],
+                                  batch["n_spk"])
+    B, T, S = labels.shape
+    out = eend_eda.eda_forward(params, cfg, feats, n_speakers_max=S,
+                               train=train, rngs=rng)
+    logits = out["logits"]
+    pit_loss, labels_perm, _ = losses.batch_pit_loss(
+        logits, labels, lens, n_spk, label_delay=task.label_delay)
+    attr_loss = losses.attractor_existence_loss(out["exist_logits"], n_spk)
+    total = pit_loss + cfg.attractor_loss_ratio * attr_loss
+    slot_mask = jnp.arange(S)[None, :] < n_spk[:, None]
+    counters = losses.diarization_error_counters(
+        jax.lax.stop_gradient(logits), labels_perm, lens, slot_mask,
+        label_delay=task.label_delay)
+    metrics = {"pit_loss": pit_loss, "emb_loss": attr_loss, "tot_loss": total,
+               **counters}
+    return total, (model_state, metrics)
 
 
 def make_train_step(task: TaskConfig, cfg, tx: optax.GradientTransformation,
