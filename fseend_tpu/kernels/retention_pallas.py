@@ -1,0 +1,173 @@
+"""Pallas TPU kernel: fused chunkwise retention (γ=1).
+
+The chunkwise-retention op (ops/retention.py:retention_chunkwise) is the hot
+op of LS-EEND training (SURVEY.md §5.7 "hard part #1"): per chunk it does an
+intra-chunk masked matmul, a cross-chunk state read, and a sequential state
+update.  The pure-XLA version materializes qk (N, B, H, L, L), per-chunk kv
+summaries and the scanned state in HBM between fused regions.
+
+This kernel runs the WHOLE per-(batch, head) pipeline with the chunk resident
+in VMEM and the running (kv_state, kv_scale) in VMEM *scratch carried across
+sequential grid steps*: grid = (BH, N) with N minor — TPU grid execution is
+sequential, so scratch written at chunk n is visible at chunk n+1; it is
+reset when n == 0.  One pass over HBM for q/k/v, one for the output.
+
+γ=1 specialization (what the reference actually runs, retention.py:20):
+the decay mask reduces to a lower-triangular 1/sqrt(row) normalization and
+cross_decay == 1; per-head masks are head-independent so everything is
+computed in-kernel with iota (no mask operands).
+
+Gradients: `chunkwise_retention` is wrapped in jax.custom_vjp whose backward
+re-runs the pure-JAX implementation's VJP (one recompute — the same
+trade XLA rematerialization makes), so training can use the kernel without a
+hand-written backward.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, kv_state, kv_scale, *, L: int):
+    n = pl.program_id(1)
+
+    @pl.when(n == 0)
+    def _():
+        kv_state[...] = jnp.zeros_like(kv_state)
+        kv_scale[...] = jnp.ones_like(kv_scale)
+
+    q = q_ref[0, 0]  # (L, dk)
+    k = k_ref[0, 0]  # (L, dk)
+    v = v_ref[0, 0]  # (L, dv)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    tri = col <= row
+    # γ=1 decay mask normalized by sqrt(row sums): mask[i, j<=i] = 1/sqrt(i+1)
+    scale_vec = jnp.sqrt(row[:, :1].astype(jnp.float32) + 1.0)  # (L,1)=sqrt(i+1)
+    mask = jnp.where(tri, 1.0, 0.0) / scale_vec       # (L, L)
+
+    qk = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * mask
+    inner_scale = jnp.clip(jnp.abs(qk).sum(axis=-1, keepdims=True), 1.0, None)
+    inner = jnp.dot(qk / inner_scale, v, preferred_element_type=jnp.float32)
+
+    # cross-chunk read: (q * inner_decay) @ (kv_state / kv_scale)
+    # inner_decay[i] = 1 / (scale_vec[i] / scale_vec[L-1]) = sqrt(L)/sqrt(i+1)
+    inner_decay = math.sqrt(L) / scale_vec            # (L, 1)
+    cross_scale = kv_scale[0, 0]
+    cross = jnp.dot(q * inner_decay, kv_state[...],
+                    preferred_element_type=jnp.float32) / cross_scale
+
+    all_scale = jnp.maximum(inner_scale, cross_scale)
+    o_ref[0, 0] = (inner * (inner_scale / all_scale)
+                   + cross * (cross_scale / all_scale)).astype(o_ref.dtype)
+
+    # state update: kv += k^T (v * last_mask_row); last row = 1/sqrt(L)
+    kv_c = jnp.dot(k.T, v * (1.0 / math.sqrt(L)),
+                   preferred_element_type=jnp.float32)
+    new_state = kv_state[...] + kv_c  # cross_decay == 1 for γ=1
+    kv_state[...] = new_state
+    kv_scale[...] = jnp.clip(
+        jnp.abs(new_state).sum(axis=0, keepdims=True).max(axis=1, keepdims=True),
+        1.0, None)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def _forward(q, k, v, chunk: int, interpret: bool = False):
+    BH, T, dk = q.shape
+    dv = v.shape[-1]
+    N = T // chunk
+    # 4-D (BH, N, L, d) views: the (L, d) block equals the trailing array
+    # dims, satisfying Mosaic's block-divisibility rule for any chunk size.
+    q4 = q.reshape(BH, N, chunk, dk)
+    k4 = k.reshape(BH, N, chunk, dk)
+    v4 = v.reshape(BH, N, chunk, dv)
+    grid = (BH, N)
+    out = pl.pallas_call(
+        functools.partial(_kernel, L=chunk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, chunk, dk), lambda b, n: (b, n, 0, 0)),
+            pl.BlockSpec((1, 1, chunk, dk), lambda b, n: (b, n, 0, 0)),
+            pl.BlockSpec((1, 1, chunk, dv), lambda b, n: (b, n, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, chunk, dv), lambda b, n: (b, n, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, N, chunk, dv), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((dk, dv), jnp.float32),
+            pltpu.VMEM((1, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q4, k4, v4)
+    return out.reshape(BH, T, dv)
+
+
+def _pure_core(q, k, v, chunk: int):
+    """Pure-JAX reference of the same (BH, T, d) core (γ=1), used for the
+    custom-vjp backward. Mirrors ops/retention.py retention_chunkwise."""
+    BH, T, dk = q.shape
+    dv = v.shape[-1]
+    L = chunk
+    N = T // L
+    qc = q.reshape(BH, N, L, dk).swapaxes(0, 1)
+    kc = k.reshape(BH, N, L, dk).swapaxes(0, 1)
+    vc = v.reshape(BH, N, L, dv).swapaxes(0, 1)
+    i = jnp.arange(L, dtype=jnp.float32)
+    tri = i[:, None] >= i[None, :]
+    scale_vec = jnp.sqrt(i + 1.0)[:, None]
+    mask = jnp.where(tri, 1.0, 0.0) / scale_vec
+    qk = jnp.einsum("nbqd,nbkd->nbqk", qc, kc, preferred_element_type=jnp.float32) * mask
+    inner_scale = jnp.clip(jnp.abs(jax.lax.stop_gradient(qk)).sum(-1, keepdims=True), 1.0, None)
+    inner = jnp.einsum("nbqk,nbkd->nbqd", qk / inner_scale, vc,
+                       preferred_element_type=jnp.float32)
+    kv_chunks = jnp.einsum("nblk,nblv->nbkv", kc, vc / math.sqrt(L),
+                           preferred_element_type=jnp.float32)
+
+    def body(carry, inp):
+        kv_state, kv_scale = carry
+        kv_rec = kv_state / kv_scale
+        cs = kv_scale
+        kv_state = kv_state + inp
+        kv_scale = jnp.clip(
+            jnp.abs(jax.lax.stop_gradient(kv_state)).sum(-2, keepdims=True)
+            .max(-1, keepdims=True), 1.0, None)
+        return (kv_state, kv_scale), (kv_rec, cs)
+
+    init = (jnp.zeros((BH, dk, dv), jnp.float32), jnp.ones((BH, 1, 1), jnp.float32))
+    _, (kv_rec, cross_scale) = jax.lax.scan(body, init, kv_chunks)
+    inner_decay = (math.sqrt(L) / scale_vec)
+    cross = jnp.einsum("nbqd,nbdv->nbqv", qc * inner_decay, kv_rec,
+                       preferred_element_type=jnp.float32)
+    all_scale = jnp.maximum(inner_scale, cross_scale)
+    out = inner * (inner_scale / all_scale) + cross * (cross_scale / all_scale)
+    return out.swapaxes(0, 1).reshape(BH, T, dv).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def chunkwise_retention(q, k, v, chunk: int, interpret: bool = False):
+    """Fused γ=1 chunkwise retention core.
+
+    q, k: (BH, T, dk) with k pre-scaled by dk**-0.5; v: (BH, T, dv);
+    T % chunk == 0.  Returns (BH, T, dv).
+    """
+    return _forward(q, k, v, chunk, interpret)
+
+
+def _fwd(q, k, v, chunk, interpret):
+    return _forward(q, k, v, chunk, interpret), (q, k, v)
+
+
+def _bwd(chunk, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b, c: _pure_core(a, b, c, chunk), q, k, v)
+    return vjp(g)
+
+
+chunkwise_retention.defvjp(_fwd, _bwd)

@@ -52,6 +52,7 @@ class RetentionConfig:
     chunk_size: int = 500
     use_xpos: bool = False
     use_decay: bool = False  # reference uses γ=1 (no decay)
+    use_pallas: bool = False  # fused TPU kernel for the chunkwise core (γ=1)
 
     @property
     def key_dim(self) -> int:
@@ -180,6 +181,14 @@ def retention_chunkwise(p: Params, x: jnp.ndarray, cfg: RetentionConfig) -> jnp.
     H, dk, dv = cfg.num_heads, cfg.key_dim, cfg.head_dim
 
     q, k, v, g = _project_qkv(p, x, cfg)  # (B, H, T, d*)
+
+    if cfg.use_pallas and not cfg.use_decay:
+        from fseend_tpu.kernels.retention_pallas import chunkwise_retention
+
+        out = chunkwise_retention(
+            q.reshape(B * H, T, dk), k.reshape(B * H, T, dk),
+            v.reshape(B * H, T, dv), L).reshape(B, H, T, dv)
+        return _finish(p, out, g, cfg)
     gammas = decay_gammas(cfg)
     mask, scale = _decay_mask(L, gammas)           # (H, L, L), (H, L, 1)
     cross_decay = gammas[:, None, None] ** L        # (H, 1, 1)

@@ -1,0 +1,71 @@
+"""Pallas chunkwise-retention kernel: parity vs the pure-JAX op (interpret
+mode on CPU) + gradient path via the custom VJP."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fseend_tpu.kernels import retention_pallas as KP
+from fseend_tpu.ops import retention as R
+
+
+def _qkv(rng, BH=4, T=24, dk=16, dv=16):
+    q = jnp.asarray(rng.standard_normal((BH, T, dk)) * 0.2, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((BH, T, dk)) * 0.2, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((BH, T, dv)), jnp.float32)
+    return q, k, v
+
+
+def test_kernel_matches_pure_core(rng):
+    q, k, v = _qkv(rng)
+    out_k = KP.chunkwise_retention(q, k, v, 8, True)  # interpret mode
+    out_p = KP._pure_core(q, k, v, 8)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_p), atol=1e-5)
+
+
+def test_kernel_matches_op_level_chunkwise(rng):
+    """ops.retention_chunkwise(use_pallas) == reference-faithful pure path."""
+    cfg = R.RetentionConfig(embed_dim=32, num_heads=4, chunk_size=8)
+    cfg_pk = R.RetentionConfig(embed_dim=32, num_heads=4, chunk_size=8,
+                               use_pallas=True)
+    p = R.init_retention(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 24, 32)), jnp.float32)
+    y_ref = R.retention_chunkwise(p, x, cfg)
+    import unittest.mock as mock
+
+    orig = KP._forward
+    with mock.patch.object(KP, "_forward",
+                           lambda q, k, v, c, i=False: orig(q, k, v, c, True)):
+        y_pal = R.retention_chunkwise(p, x, cfg_pk)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref), atol=1e-5)
+
+
+def test_custom_vjp_grads_match_pure(rng):
+    q, k, v = _qkv(rng, BH=2, T=16, dk=8, dv=8)
+
+    def f_kernel(q, k, v):
+        return jnp.sum(KP.chunkwise_retention(q, k, v, 8, True) ** 2)
+
+    def f_pure(q, k, v):
+        return jnp.sum(KP._pure_core(q, k, v, 8) ** 2)
+
+    gk = jax.grad(f_kernel, argnums=(0, 1, 2))(q, k, v)
+    gp = jax.grad(f_pure, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gk, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_pure_core_matches_ops_retention_math(rng):
+    """_pure_core (kernel's backward surrogate) must equal the op-level math
+    on pre-projected q/k/v."""
+    cfg = R.RetentionConfig(embed_dim=32, num_heads=4, chunk_size=8)
+    p = R.init_retention(jax.random.PRNGKey(1), cfg)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 24, 32)), jnp.float32)
+    q, k, v, g = R._project_qkv(p, x, cfg)
+    B, H, T, dk = q.shape
+    out_core = KP._pure_core(q.reshape(B * H, T, dk), k.reshape(B * H, T, dk),
+                             v.reshape(B * H, T, dk), 8).reshape(B, H, T, dk)
+    y_core = R._finish(p, out_core, g, cfg)
+    y_ref = R.retention_chunkwise(p, x, cfg)
+    np.testing.assert_allclose(np.asarray(y_core), np.asarray(y_ref), atol=1e-5)
