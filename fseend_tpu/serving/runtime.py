@@ -47,7 +47,12 @@ class StreamingServer:
     def __post_init__(self):
         self.state = self._init_state()
         self._zero_state = self.state
-        self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+        def step_with_probs(state, x_t, flush):
+            new_state, out = self._step_impl(state, x_t, flush)
+            return new_state, {"probs": self._probs(out["logits"]),
+                               "valid": out["valid"]}
+
+        self._step = jax.jit(step_with_probs, donate_argnums=(0,))
         self._block = jax.jit(self._block_impl, donate_argnums=(0,))
         self._reset = jax.jit(self._reset_impl, donate_argnums=(0,))
 
@@ -67,12 +72,17 @@ class StreamingServer:
         return ls_eend.ls_stream_step(self.params, state, self.cfg,
                                       self.model_state, x_t, self.n_slots, flush)
 
+    def _probs(self, logits):
+        """sigmoid + silence-slot drop, computed inside the jitted program
+        (one dispatch per call instead of two)."""
+        return jax.nn.sigmoid(logits[..., 1:])
+
     def step(self, frames: np.ndarray, flush: bool = False):
         """frames: (n_lanes, in_size) -> probs (n_lanes, n_slots-1)
         (sigmoid, silence slot dropped — dia_pred.py:53-56)."""
         self.state, out = self._step(self.state, jnp.asarray(frames),
                                      jnp.asarray(flush))
-        return jax.nn.sigmoid(out["logits"][:, 1:]), out["valid"]
+        return out["probs"], out["valid"]
 
     # -- block of frames (throughput path) ---------------------------------
     def _block_impl(self, state, xs, flush):
@@ -83,22 +93,23 @@ class StreamingServer:
 
         state, (logits, valid) = jax.lax.scan(
             body, state, (xs.swapaxes(0, 1), flush))
-        return state, (logits.swapaxes(0, 1), valid)
+        return state, (self._probs(logits.swapaxes(0, 1)), valid)
 
     def process_block(self, frames: np.ndarray, flush=None):
-        """frames: (n_lanes, K, in_size); flush: (K,) bool or None."""
+        """frames: (n_lanes, K, in_size); flush: (K,) bool or None.
+        Returns (probs (n_lanes, K, n_slots-1), valid (K,))."""
         K = frames.shape[1]
         if flush is None:
             flush = jnp.zeros((K,), bool)
-        self.state, (logits, valid) = self._block(
+        self.state, (probs, valid) = self._block(
             self.state, jnp.asarray(frames), jnp.asarray(flush))
-        return jax.nn.sigmoid(logits[:, :, 1:]), valid
+        return probs, valid
 
     # -- lane management ---------------------------------------------------
     def _reset_impl(self, state, lane_mask):
         def reset_leaf(cur, zero):
             if cur.ndim == 0:
-                return cur  # global frame counter handled per-lane below? no:
+                return cur  # shared scalar counters are left untouched
             # every lane-indexed tensor has the lane axis first
             if cur.shape[:1] == (self.n_lanes,):
                 m = lane_mask.reshape((self.n_lanes,) + (1,) * (cur.ndim - 1))

@@ -1,0 +1,83 @@
+"""StreamingServer tests: block path == model streaming scan, file helper,
+lane reset, profiling utils."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fseend_tpu.models import ls_eend
+from fseend_tpu.serving.runtime import StreamingServer, stream_file
+
+CFG = ls_eend.LSEENDConfig(
+    in_size=23, n_units=32, n_heads=4, enc_n_layers=1, dec_n_layers=1,
+    dropout=0.0, chunk_size=8, ff_expansion=2, conv_kernel_size=5,
+    dec_dim_feedforward=64, conv_delay=3, max_nspks=4)
+
+
+@pytest.fixture(scope="module")
+def server():
+    params, mstate = ls_eend.init_ls_eend(jax.random.PRNGKey(0), CFG)
+    return StreamingServer(kind="ls", cfg=CFG, params=params,
+                           model_state=mstate, n_lanes=2, n_slots=4), params, mstate
+
+
+def test_block_path_matches_model_scan(server, rng):
+    srv, params, mstate = server
+    T = 12
+    feats = rng.standard_normal((2, T, CFG.in_size)).astype(np.float32)
+    st = ls_eend.ls_stream_init(CFG, 2, n_slots=4)
+    logits_ref, _ = ls_eend.ls_stream_scan(params, st, CFG, mstate,
+                                           jnp.asarray(feats), 4)
+    probs_ref = np.asarray(jax.nn.sigmoid(logits_ref[..., 1:]))
+
+    srv.state = srv._init_state()
+    pad = np.zeros((2, CFG.conv_delay, CFG.in_size), np.float32)
+    xs = np.concatenate([feats, pad], axis=1)
+    flush = np.arange(T + CFG.conv_delay) >= T
+    p1, _ = srv.process_block(xs[:, :7], flush[:7])
+    p2, _ = srv.process_block(xs[:, 7:], flush[7:])
+    probs = np.concatenate([np.asarray(p1), np.asarray(p2)], axis=1)
+    np.testing.assert_allclose(probs[:, CFG.conv_delay:], probs_ref, atol=1e-5)
+
+
+def test_stream_file_helper(server, rng):
+    srv, params, mstate = server
+    srv.state = srv._init_state()
+    feats = rng.standard_normal((15, CFG.in_size)).astype(np.float32)
+    out = stream_file(srv, feats, block=6)
+    assert out.shape == (15, 3)  # n_slots - 1
+    st = ls_eend.ls_stream_init(CFG, 2, n_slots=4)
+    logits_ref, _ = ls_eend.ls_stream_scan(
+        params, st, CFG, mstate,
+        jnp.broadcast_to(jnp.asarray(feats)[None], (2, 15, CFG.in_size)), 4)
+    np.testing.assert_allclose(
+        out, np.asarray(jax.nn.sigmoid(logits_ref[0, :, 1:])), atol=1e-5)
+
+
+def test_lane_reset(server, rng):
+    srv, params, mstate = server
+    srv.state = srv._init_state()
+    feats = rng.standard_normal((2, 6, CFG.in_size)).astype(np.float32)
+    srv.process_block(feats)
+    dirty = float(jnp.abs(srv.state["enc"][0]["ret"]["kv"][1]).sum())
+    assert dirty > 0
+    srv.reset_lanes([1])
+    assert float(jnp.abs(srv.state["enc"][0]["ret"]["kv"][1]).sum()) == 0
+    # lane 0 untouched
+    assert float(jnp.abs(srv.state["enc"][0]["ret"]["kv"][0]).sum()) > 0
+
+
+def test_step_timer_report():
+    import time
+
+    from fseend_tpu.utils.profiling import StepTimer
+
+    t = StepTimer()
+    for _ in range(5):
+        with t:
+            time.sleep(0.001)
+    rep = t.report(frames_per_step=100)
+    assert rep["steps"] == 5
+    assert rep["p50_ms"] >= 1.0
+    assert rep["rtf"] > 0
