@@ -56,6 +56,7 @@ class LSEENDConfig:
     max_nspks: int = 10                # max_speakers + 2
     pe_max_len: int = 5000
     half_step_residual: bool = True
+    use_pallas: bool = False   # fused TPU kernel for chunkwise retention
 
     @property
     def lookahead_kernel(self) -> int:
@@ -63,7 +64,8 @@ class LSEENDConfig:
 
     @property
     def ret_cfg(self) -> R.RetentionConfig:
-        return R.RetentionConfig(self.n_units, self.n_heads, 1, self.chunk_size)
+        return R.RetentionConfig(self.n_units, self.n_heads, 1, self.chunk_size,
+                                 use_pallas=self.use_pallas)
 
     @property
     def ff_factor(self) -> float:
