@@ -64,6 +64,7 @@ def build_model(configs):
             in_size=in_size, n_units=p.get("n_units", 256),
             n_heads=p.get("n_heads", 4), enc_n_layers=p.get("enc_n_layers", 4),
             dec_n_layers=p.get("dec_n_layers", 2), dropout=p.get("dropout", 0.1),
+            enc_dim_feedforward=p.get("enc_dim_feedforward", 2048),
             dec_dim_feedforward=p.get("dec_dim_feedforward", 2048),
             conv_delay=p.get("conv_delay", 9), mask_delay=p.get("mask_delay", 0),
             max_nspks=max_spk + 2)
@@ -74,6 +75,70 @@ def build_model(configs):
             consis_weight=configs.get("task", {}).get(
                 "spk_attractor", {}).get("consis_weight", 1.0))
     return cfg, init, task
+
+
+def evaluate_folder(configs, folder):
+    """Reference --test_from_folder path (train_dia.py:166-185): average the
+    folder's epoch checkpoints, run model.test over the val set with
+    max_speakers+2 attractor slots, report the frame-level DER table, and
+    dump per-recording probability h5 files for the scoring pipeline."""
+    import jax
+    import jax.numpy as jnp
+
+    from fseend_tpu.data.dataset import DiarizationDataset, FeatureConfig
+    from fseend_tpu.data.loader import batched
+    from fseend_tpu.models import fs_eend, ls_eend
+    from fseend_tpu.train import labels as labels_lib
+    from fseend_tpu.train import losses, trainer as trainer_lib
+    from fseend_tpu.utils import checkpoint as ckpt_lib
+    from fseend_tpu.utils.postprocess import save_h5_probs
+
+    data = configs["data"]
+    feat = FeatureConfig(
+        frame_size=data["feat"]["win_length"], frame_shift=data["feat"]["hop_length"],
+        context_size=data["context_recp"], subsampling=data["subsampling"],
+        rate=data["feat"]["sample_rate"], input_transform=data["feat_type"])
+    ds = DiarizationDataset(
+        data["val_data_dir"], feat, chunk_size=data["chunk_size"],
+        use_last_samples=data.get("use_last_samples", True),
+        n_speakers=data.get("num_speakers"))
+    model_cfg, init_fn, task = build_model(configs)
+    params, mstate = init_fn(jax.random.PRNGKey(0))
+    paths = ckpt_lib.find_epoch_checkpoints(
+        folder, configs["log"].get("start_epoch"), configs["log"].get("end_epoch"))
+    if paths:
+        params = ckpt_lib.average_checkpoints(
+            paths, {"params": jax.tree.map(np.asarray, params)})["params"]
+        loaded = ckpt_lib.load_pytree(
+            paths[-1], {"params": jax.tree.map(np.asarray, params),
+                        "model_state": jax.tree.map(np.asarray, mstate)})
+        mstate = loaded["model_state"]
+        print(f"averaged {len(paths)} checkpoints from {folder}")
+
+    test_fn = ls_eend.ls_test if task.model == "ls" else fs_eend.fs_test
+    max_slots = data["max_speakers"] + 2
+    h5_dir = os.path.join(folder, "preds_h5")
+    os.makedirs(h5_dir, exist_ok=True)
+    ms = []
+    for batch in batched(ds, range(len(ds)), 1, data["chunk_size"],
+                         data["max_speakers"], feat.input_dim, drop_last=False):
+        recs = batch.pop("recs")
+        b = {k: jnp.asarray(v) for k, v in batch.items()}
+        out = test_fn(params, mstate, model_cfg, b["feats"], b["lens"], max_slots)
+        slot_labels, _ = labels_lib.prepare_labels(b["labels"], b["lens"], b["n_spk"])
+        # frame-level DER proxy over real-speaker slots (test_step :186-194)
+        n = int(b["n_spk"][0])
+        stats = losses.diarization_error_counters(
+            out["logits"][..., 1:1 + data["max_speakers"]],
+            slot_labels[..., 1:1 + data["max_speakers"]], b["lens"],
+            jnp.arange(data["max_speakers"])[None] < b["n_spk"][:, None])
+        ms.append(jax.tree.map(np.asarray, stats))
+        probs = np.asarray(jax.nn.sigmoid(out["logits"][0, : int(b["lens"][0]), 1:]))
+        save_h5_probs(os.path.join(h5_dir, recs[0] + ".h5"), probs)
+    agg = trainer_lib.aggregate_metrics(ms)
+    print({f"test/{k}": round(float(v), 5) for k, v in agg.items()})
+    print(f"h5 predictions -> {h5_dir} (score with cli.score --hyp_dir)")
+    return agg
 
 
 def main():
@@ -96,6 +161,9 @@ def main():
     data = configs["data"]
     tr = configs["training"]
     np.random.seed(tr.get("seed", 777))
+
+    if args.test_from_folder:
+        return evaluate_folder(configs, args.test_from_folder)
 
     feat = FeatureConfig(
         frame_size=data["feat"]["win_length"], frame_shift=data["feat"]["hop_length"],

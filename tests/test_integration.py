@@ -116,6 +116,50 @@ def test_mini_training_and_inference(kaldi_dir, tmp_path):
     assert np.isfinite(c.der)
 
 
+def test_evaluate_folder_cli_path(kaldi_dir, tmp_path):
+    """cli.train.evaluate_folder: ckpt averaging + test pass + h5 dump."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from cli.train import evaluate_folder
+
+    cfg = fs_eend.FSEENDConfig(
+        in_size=FEAT.input_dim, n_units=32, n_heads=4, enc_n_layers=1,
+        dec_n_layers=1, enc_dim_feedforward=64, dec_dim_feedforward=64,
+        dropout=0.0, conv_delay=2, max_nspks=4)
+    params, mstate = fs_eend.init_fs_eend(jax.random.PRNGKey(0), cfg)
+    from fseend_tpu.utils import checkpoint as ckpt_lib
+
+    folder = tmp_path / "ckpts"
+    ckpt_lib.save_pytree(folder / "ckpt_epoch=0.npz",
+                         {"params": jax.tree.map(np.asarray, params),
+                          "model_state": jax.tree.map(np.asarray, mstate)})
+    configs = {
+        "log": {},
+        "model": {"arch": "fs_eend",
+                  "params": {"n_units": 32, "n_heads": 4, "enc_n_layers": 1,
+                             "dec_n_layers": 1, "enc_dim_feedforward": 64,
+                             "dec_dim_feedforward": 64,
+                             "dropout": 0.0, "conv_delay": 2}},
+        "data": {"max_speakers": 2, "context_recp": FEAT.context_size,
+                 "label_delay": 0, "feat_type": FEAT.input_transform,
+                 "chunk_size": 80, "subsampling": FEAT.subsampling,
+                 "use_last_samples": True, "num_speakers": None,
+                 "val_data_dir": str(kaldi_dir),
+                 "feat": {"sample_rate": 8000, "win_length": 200,
+                          "hop_length": 80, "n_mels": 23}},
+        "task": {"label_mode": "fixed"},
+    }
+    # enc_dim_feedforward differs from the CLI default (2048); patch in-place
+    import cli.train as CT
+
+    agg = evaluate_folder(configs, str(folder))
+    assert "DER" in agg
+    import glob
+
+    assert len(glob.glob(str(folder / "preds_h5" / "*.h5"))) >= 1
+
+
 def test_streaming_inference_on_real_features(kaldi_dir):
     """Batch == streaming on actual extracted features (not random data)."""
     import jax.numpy as jnp
