@@ -45,7 +45,8 @@ def build_model(configs):
             dec_dim_feedforward=p.get("dec_dim_feedforward", 2048),
             conv_delay=p.get("conv_delay", 9),
             mask_delay=p.get("mask_delay", 0), max_nspks=max_spk + 2,
-            use_pallas=p.get("use_pallas", False))
+            use_pallas=p.get("use_pallas", False),
+            remat=p.get("remat", False))
         init = lambda key: ls_eend.init_ls_eend(key, cfg)
         task = trainer_lib.TaskConfig(
             model="ls", label_mode=label_mode, masked_emb_loss=True,

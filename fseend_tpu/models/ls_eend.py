@@ -57,6 +57,8 @@ class LSEENDConfig:
     pe_max_len: int = 5000
     half_step_residual: bool = True
     use_pallas: bool = False   # fused TPU kernel for chunkwise retention
+    remat: bool = False        # jax.checkpoint each conformer block (trade
+                               # FLOPs for memory on hour-long sequences)
 
     @property
     def lookahead_kernel(self) -> int:
@@ -217,9 +219,18 @@ def encode(params: Params, state, cfg: LSEENDConfig, xs: jnp.ndarray, *,
     rs = (jax.random.split(rngs, cfg.enc_n_layers) if rngs is not None
           else [None] * cfg.enc_n_layers)
     new_bn = []
+    if cfg.remat:
+        def block_fn(bp, bs, h, rng):
+            return jax.checkpoint(
+                lambda bp_, bs_, h_: _block(bp_, bs_, h_, cfg, rng=rng,
+                                            train=train, time_mode=time_mode)
+            )(bp, bs, h)
+    else:
+        def block_fn(bp, bs, h, rng):
+            return _block(bp, bs, h, cfg, rng=rng, train=train,
+                          time_mode=time_mode)
     for i, bp in enumerate(params["enc"]["blocks"]):
-        h, s = _block(bp, state["conv_bn"][i], h, cfg, rng=rs[i], train=train,
-                      time_mode=time_mode)
+        h, s = block_fn(bp, state["conv_bn"][i], h, rs[i])
         new_bn.append(s)
     return h, {"conv_bn": new_bn}
 

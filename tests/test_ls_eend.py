@@ -106,3 +106,21 @@ def test_train_mode(model, rng):
     assert not np.allclose(
         np.asarray(out["state"]["conv_bn"][0]["mean"]),
         np.asarray(state["conv_bn"][0]["mean"]))
+
+
+def test_remat_grads_identical(model, rng):
+    """jax.checkpoint on conformer blocks: identical grads, less memory."""
+    import dataclasses
+
+    params, state = model
+    cfg_r = dataclasses.replace(CFG, remat=True)
+    xs = jnp.asarray(rng.standard_normal((1, 16, CFG.in_size)), jnp.float32)
+    lens = jnp.array([16])
+
+    def loss(p, c):
+        return jnp.sum(M.ls_forward(p, state, c, xs, lens, 4)["logits"] ** 2)
+
+    g0 = jax.grad(lambda p: loss(p, CFG))(params)
+    g1 = jax.grad(lambda p: loss(p, cfg_r))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
