@@ -433,3 +433,166 @@ def ls_stream_scan(params: Params, state: Params, cfg: LSEENDConfig, model_state
 
     _, (logits, emb) = jax.lax.scan(step, state, (seq, flush))
     return logits[cfg.conv_delay:].swapaxes(0, 1), emb[cfg.conv_delay:].swapaxes(0, 1)
+
+
+# ---------------------------------------------------------------------------
+# blockwise-recurrent streaming — MXU-granularity serving
+# ---------------------------------------------------------------------------
+#
+# Process K frames per step using the CHUNKWISE retention math with carried
+# cross-block state (ops/retention.py retention_chunkwise_stateful): every
+# op becomes a (B, K, D)-shaped matmul instead of K sequential per-frame
+# vector ops.  This is the throughput serving mode (adds K/10Hz of batching
+# latency); the per-frame `ls_stream_step` remains the low-latency mode.
+#
+# Numerics: identical to a batch ls_forward in chunkwise time_mode with
+# chunk_size=K (verified in tests) — i.e. the same normalization family the
+# model TRAINS with; the reference itself tolerates chunkwise-vs-recurrent
+# drift at atol=1e-3 (LS streaming_infer_dia.py:157-160).
+
+
+def _block_ret_cfg(cfg: LSEENDConfig, K: int) -> R.RetentionConfig:
+    return R.RetentionConfig(cfg.n_units, cfg.n_heads, 1, K)
+
+
+def ls_blockstream_init(cfg: LSEENDConfig, batch: int, n_slots: int | None = None,
+                        block: int = 100, dtype=jnp.float32) -> Params:
+    """O(1) state for blockwise streaming with one-block emission lag.
+
+    The step consuming block m emits the logits of block m-1: the look-ahead
+    conv needs `conv_delay` future encoder frames, which are exactly the head
+    of block m.  This keeps the decoder's time axis aligned from frame 0
+    (EXACT parity with the batch chunkwise pass — no warm-up garbage) with
+    fully static shapes.  Requires block >= conv_delay."""
+    assert block >= cfg.conv_delay, "block must be >= conv_delay"
+    C = n_slots if n_slots is not None else cfg.max_nspks
+    rc = cfg.ret_cfg
+    return {
+        "enc": [
+            {"ret": R.chunk_state_init(rc, batch, dtype),
+             "conv": jnp.zeros((batch, cfg.conv_kernel_size - 1, cfg.n_units), dtype)}
+            for _ in range(cfg.enc_n_layers)
+        ],
+        "h_prev": jnp.zeros((batch, block, cfg.n_units), dtype),
+        "h_tail2": jnp.zeros((batch, cfg.conv_delay, cfg.n_units), dtype),
+        "m": jnp.zeros((), jnp.int32),  # blocks consumed
+        "dec": [R.chunk_state_init(rc, batch * C, dtype)
+                for _ in range(cfg.dec_n_layers)],
+    }
+
+
+def _conv_module_block(p: Params, bn_state, x: jnp.ndarray, cache: jnp.ndarray,
+                       cfg: LSEENDConfig):
+    """Causal conformer conv over a K-frame block with (k-1)-frame cache."""
+    h = nn.layer_norm(p["norm"], x)
+    h = nn.linear(p["pw1"], h)
+    a, b = jnp.split(h, 2, axis=-1)
+    h = a * jax.nn.sigmoid(b)  # (B, K, D) post-GLU
+    window = jnp.concatenate([cache, h], axis=1)  # (B, k-1+K, D)
+    new_cache = window[:, -(cfg.conv_kernel_size - 1):]
+    y = nn.conv1d(p["dw"], window, padding=[(0, 0)])  # valid -> (B, K, D)
+    y, _ = nn.batch_norm(p["bn"], bn_state, y, train=False)
+    y = jax.nn.silu(y)
+    y = nn.linear(p["pw2"], y)
+    return y, new_cache
+
+
+def _enc_block_blockstream(p: Params, bn_state, x: jnp.ndarray, st: Params,
+                           cfg: LSEENDConfig, rc: R.RetentionConfig):
+    x = x + cfg.ff_factor * _ff(p["ff1"], x)
+    h = nn.layer_norm(p["ret_norm"], x)
+    h, ret_state = R.retention_chunkwise_stateful(p["ret"], h, st["ret"], rc)
+    x = x + h
+    h, conv_cache = _conv_module_block(p["conv"], bn_state, x, st["conv"], cfg)
+    x = x + h
+    x = x + cfg.ff_factor * _ff(p["ff2"], x)
+    x = nn.layer_norm(p["final_norm"], x)
+    return x, {"ret": ret_state, "conv": conv_cache}
+
+
+def ls_blockstream_step(params: Params, state: Params, cfg: LSEENDConfig,
+                        model_state, xs: jnp.ndarray, n_slots: int,
+                        enc_bypass=False, h_mask: jnp.ndarray | None = None):
+    """Consume block m (B, K, in_size); emit logits (B, K, n_slots) of block
+    m-1 (garbage for m=0 — the caller discards the first emitted block).
+
+    enc_bypass=True feeds zero embeddings (the stream-end flush; also used
+    to drain the final real block).  h_mask (K,) zeroes this block's
+    embeddings per frame (padding frames, mirroring the batch re-pad)."""
+    B, K, _ = xs.shape
+    rc = _block_ret_cfg(cfg, K)
+    enc_bypass = jnp.asarray(enc_bypass)
+    # --- encoder on block m ---
+    h = nn.layer_norm(params["enc"]["norm"], nn.linear(params["enc"]["proj"], xs))
+    new_enc = []
+    for bp, bs, st in zip(params["enc"]["blocks"], model_state["conv_bn"],
+                          state["enc"]):
+        h, new_st = _enc_block_blockstream(bp, bs, h, st, cfg, rc)
+        new_st = jax.tree.map(lambda new, old: jnp.where(enc_bypass, old, new),
+                              new_st, st)
+        new_enc.append(new_st)
+    h = jnp.where(enc_bypass, 0.0, h)
+    if h_mask is not None:
+        # zero padding-frame embeddings, matching the batch path's re-pad
+        # (ls_forward: h = where(len_mask, h, 0))
+        h = h * h_mask[None, :, None].astype(h.dtype)
+    # --- look-ahead cnn emits block m-1 ---
+    window = jnp.concatenate(
+        [state["h_tail2"], state["h_prev"], h[:, :cfg.conv_delay]], axis=1)
+    emb = nn.conv1d(params["cnn"], window, padding=[(0, 0)])  # (B, K, D)
+    emb = nn.l2_normalize(emb)
+    # --- decoder block (time axis aligned from frame 0 of the stream) ---
+    pe = nn.sinusoidal_table(cfg.pe_max_len, cfg.n_units)[:n_slots]
+    x = jnp.concatenate(
+        [jnp.broadcast_to(emb[:, :, None, :], (B, K, n_slots, cfg.n_units)),
+         jnp.broadcast_to(pe[None, None], (B, K, n_slots, cfg.n_units))], axis=-1)
+    x = nn.linear(params["dec"]["convert"], x)  # (B, K, C, D)
+    first = state["m"] == 0
+    new_dec = []
+    for lp, st in zip(params["dec"]["layers"], state["dec"]):
+        xt = x.swapaxes(1, 2).reshape(B * n_slots, K, cfg.n_units)
+        a, ret_state = R.retention_chunkwise_stateful(lp["time_ret"], xt, st, rc)
+        # block 0's emission is garbage; don't let it pollute decoder state
+        ret_state = jax.tree.map(lambda new, old: jnp.where(first, old, new),
+                                 ret_state, st)
+        xt = nn.layer_norm(lp["norm11"], xt + a)
+        x = xt.reshape(B, n_slots, K, cfg.n_units).swapaxes(1, 2)
+        s = nn.mha(lp["spk_attn"], x, x, x, None)
+        x = nn.layer_norm(lp["norm21"], x + s)
+        x = nn.layer_norm(lp["norm22"], x + nn.ff_block(lp, x))
+        new_dec.append(ret_state)
+    attractors = nn.l2_normalize(x)
+    logits = jnp.einsum("bkd,bkcd->bkc", emb, attractors,
+                        preferred_element_type=jnp.float32)
+    new_state = {
+        "enc": new_enc,
+        "h_prev": h,
+        "h_tail2": state["h_prev"][:, -cfg.conv_delay:],
+        "m": state["m"] + 1,
+        "dec": new_dec,
+    }
+    return new_state, logits
+
+
+def ls_blockstream_run(params: Params, cfg: LSEENDConfig, model_state,
+                       xs: jnp.ndarray, n_slots: int, block: int):
+    """Whole-clip blockwise streaming, time-aligned output (B, T, n_slots).
+    Exactly equals ls_forward(time_mode="chunkwise") with chunk_size=block."""
+    B, T, F = xs.shape
+    state = ls_blockstream_init(cfg, B, n_slots, block, xs.dtype)
+    padT = (-T) % block
+    xs_p = jnp.pad(xs, ((0, 0), (0, padT), (0, 0)))
+    outs = []
+    for st_i in range(0, T + padT, block):
+        h_mask = (jnp.arange(st_i, st_i + block) < T)
+        state, logits = ls_blockstream_step(
+            params, state, cfg, model_state, xs_p[:, st_i:st_i + block],
+            n_slots, h_mask=h_mask)
+        outs.append(logits)  # block (st_i/block - 1); first is garbage
+    # drain the final real block with one enc-bypass call
+    state, logits = ls_blockstream_step(
+        params, state, cfg, model_state,
+        jnp.zeros((B, block, F), xs.dtype), n_slots, enc_bypass=True)
+    outs.append(logits)
+    full = jnp.concatenate(outs[1:], axis=1)  # drop the m=0 garbage block
+    return full[:, :T]

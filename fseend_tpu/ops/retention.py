@@ -167,6 +167,16 @@ def retention_parallel(p: Params, x: jnp.ndarray, cfg: RetentionConfig) -> jnp.n
 # ---------------------------------------------------------------------------
 
 
+def chunk_state_init(cfg: RetentionConfig, batch: int, dtype=jnp.float32) -> Params:
+    """Cross-chunk carry for the chunkwise recursion: kv_state (B,H,dk,dv)
+    and its running scale (B,H,1,1). Zero/one init reproduces the
+    from-scratch chunkwise pass exactly."""
+    return {
+        "kv": jnp.zeros((batch, cfg.num_heads, cfg.key_dim, cfg.head_dim), dtype),
+        "scale": jnp.ones((batch, cfg.num_heads, 1, 1), dtype),
+    }
+
+
 def retention_chunkwise(p: Params, x: jnp.ndarray, cfg: RetentionConfig) -> jnp.ndarray:
     """(B, T, D) -> (B, T, D) with T % chunk_size == 0
     (the model pads, LS onl_conformer...py:82-85).
@@ -174,6 +184,17 @@ def retention_chunkwise(p: Params, x: jnp.ndarray, cfg: RetentionConfig) -> jnp.
     Faithful port of the cross-chunk state recursion with running
     abs-sum renormalization (retention.py:146-194), expressed as a scan.
     """
+    out, _ = retention_chunkwise_stateful(p, x, None, cfg)
+    return out
+
+
+def retention_chunkwise_stateful(p: Params, x: jnp.ndarray, state: Params | None,
+                                 cfg: RetentionConfig):
+    """Chunkwise retention continuing from a cross-chunk `state` (None =
+    fresh). Returns (out (B, T, D), new_state).  This is the engine of
+    blockwise-recurrent SERVING: each arriving block of frames is one (or
+    more) chunks, with O(1) carried state — the exact math the model trains
+    with (chunkwise mode), at matmul granularity instead of per-frame ops."""
     B, T, D = x.shape
     L = cfg.chunk_size
     assert T % L == 0, f"T={T} must be a multiple of chunk_size={L}"
@@ -182,13 +203,15 @@ def retention_chunkwise(p: Params, x: jnp.ndarray, cfg: RetentionConfig) -> jnp.
 
     q, k, v, g = _project_qkv(p, x, cfg)  # (B, H, T, d*)
 
-    if cfg.use_pallas and not cfg.use_decay:
+    if cfg.use_pallas and not cfg.use_decay and state is None:
         from fseend_tpu.kernels.retention_pallas import chunkwise_retention
 
         out = chunkwise_retention(
             q.reshape(B * H, T, dk), k.reshape(B * H, T, dk),
             v.reshape(B * H, T, dv), L).reshape(B, H, T, dv)
-        return _finish(p, out, g, cfg)
+        # kernel path does not export state; recompute it is unnecessary for
+        # training (state unused); fall through only when state is requested
+        return _finish(p, out, g, cfg), None
     gammas = decay_gammas(cfg)
     mask, scale = _decay_mask(L, gammas)           # (H, L, L), (H, L, 1)
     cross_decay = gammas[:, None, None] ** L        # (H, 1, 1)
@@ -223,8 +246,13 @@ def retention_chunkwise(p: Params, x: jnp.ndarray, cfg: RetentionConfig) -> jnp.
             .max(-1, keepdims=True), 1.0, None)
         return (kv_state, kv_scale), (kv_rec, cross_scale)
 
-    init = (jnp.zeros((B, H, dk, dv), qk.dtype), jnp.ones((B, H, 1, 1), qk.dtype))
-    _, (kv_recurrent, cross_scale) = jax.lax.scan(scan_body, init, kv_chunks)
+    if state is None:
+        init = (jnp.zeros((B, H, dk, dv), qk.dtype),
+                jnp.ones((B, H, 1, 1), qk.dtype))
+    else:
+        init = (state["kv"].astype(qk.dtype), state["scale"].astype(qk.dtype))
+    (kv_f, scale_f), (kv_recurrent, cross_scale) = jax.lax.scan(
+        scan_body, init, kv_chunks)
     # kv_recurrent: (N, B, H, dk, dv); cross_scale: (N, B, H, 1, 1)
 
     cross_out = jnp.einsum("nbhlk,nbhkv->nbhlv", qc * inner_decay[None, None],
@@ -232,7 +260,7 @@ def retention_chunkwise(p: Params, x: jnp.ndarray, cfg: RetentionConfig) -> jnp.
     all_scale = jnp.maximum(inner_scale, cross_scale)
     out = inner_out * (inner_scale / all_scale) + cross_out * (cross_scale / all_scale)
     out = out.transpose(1, 2, 0, 3, 4).reshape(B, H, T, dv)
-    return _finish(p, out, g, cfg)
+    return _finish(p, out, g, cfg), {"kv": kv_f, "scale": scale_f}
 
 
 # ---------------------------------------------------------------------------

@@ -124,3 +124,30 @@ def test_remat_grads_identical(model, rng):
     g1 = jax.grad(lambda p: loss(p, cfg_r))(params)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_blockstream_exact_vs_batch_chunkwise(model, rng):
+    """Blockwise-recurrent serving == batch chunkwise(chunk=block) EXACTLY,
+    including non-multiple T (padding frames re-zeroed like the batch path)."""
+    import dataclasses
+
+    params, state = model
+    B, K = 2, 8
+    cfgK = dataclasses.replace(CFG, chunk_size=K, dropout=0.0)
+    for T in (24, 21):
+        xs = jnp.asarray(rng.standard_normal((B, T, CFG.in_size)), jnp.float32)
+        batch = M.ls_forward(params, state, cfgK, xs, jnp.full((B,), T), 4,
+                             time_mode="chunkwise")
+        blk = M.ls_blockstream_run(params, cfgK, state, xs, 4, block=K)
+        np.testing.assert_allclose(np.asarray(blk), np.asarray(batch["logits"]),
+                                   atol=1e-6)
+
+
+def test_blockstream_state_is_o1(model):
+    st = M.ls_blockstream_init(CFG, batch=1, n_slots=4, block=8)
+    size0 = sum(x.size for x in jax.tree.leaves(st))
+    params, state = model
+    xs = jnp.zeros((1, 8, CFG.in_size))
+    for _ in range(3):
+        st, _ = M.ls_blockstream_step(params, st, CFG, state, xs, 4)
+    assert sum(x.size for x in jax.tree.leaves(st)) == size0
