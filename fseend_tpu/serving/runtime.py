@@ -146,3 +146,44 @@ def stream_file(server: StreamingServer, feats: np.ndarray, block: int = 128):
         probs.append(np.asarray(p[0]))
     out = np.concatenate(probs, axis=0)
     return out[delay:]
+
+
+@dataclasses.dataclass
+class BlockStreamingServer:
+    """LS-EEND blockwise-recurrent server: consumes fixed-size K-frame blocks
+    per lane, emits the previous block's probabilities (one-block lag +
+    conv_delay alignment; see models/ls_eend.py blockwise section).  This is
+    the highest-throughput serving mode; use `StreamingServer` for
+    frame-level latency."""
+
+    cfg: Any
+    params: Any
+    model_state: Any
+    n_lanes: int
+    n_slots: int
+    block: int = 100
+    dtype: Any = jnp.float32
+
+    def __post_init__(self):
+        assert self.block >= self.cfg.conv_delay
+        self.state = ls_eend.ls_blockstream_init(
+            self.cfg, self.n_lanes, self.n_slots, self.block, self.dtype)
+
+        def step(state, xs, enc_bypass):
+            new_state, logits = ls_eend.ls_blockstream_step(
+                self.params, state, self.cfg, self.model_state, xs,
+                self.n_slots, enc_bypass=enc_bypass)
+            return new_state, jax.nn.sigmoid(logits[..., 1:])
+
+        self._step = jax.jit(step, donate_argnums=(0,))
+
+    def process_block(self, frames: np.ndarray, flush: bool = False):
+        """frames: (n_lanes, block, in_size) -> probs of the PREVIOUS block
+        (n_lanes, block, n_slots-1). The first call's output is warm-up
+        garbage; with flush=True a zero-embedding block drains the tail."""
+        self.state, probs = self._step(self.state, jnp.asarray(frames),
+                                       jnp.asarray(flush))
+        return probs
+
+    def blocks_consumed(self) -> int:
+        return int(self.state["m"])

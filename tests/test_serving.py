@@ -81,3 +81,23 @@ def test_step_timer_report():
     assert rep["steps"] == 5
     assert rep["p50_ms"] >= 1.0
     assert rep["rtf"] > 0
+
+
+def test_block_streaming_server(rng):
+    from fseend_tpu.serving.runtime import BlockStreamingServer
+    import dataclasses
+
+    cfgK = dataclasses.replace(CFG, chunk_size=6, dropout=0.0)
+    params, mstate = ls_eend.init_ls_eend(jax.random.PRNGKey(0), cfgK)
+    srv = BlockStreamingServer(cfg=cfgK, params=params, model_state=mstate,
+                               n_lanes=1, n_slots=4, block=6)
+    T = 12
+    feats = rng.standard_normal((1, T, CFG.in_size)).astype(np.float32)
+    _ = srv.process_block(feats[:, :6])          # warm-up output (garbage)
+    p1 = srv.process_block(feats[:, 6:])         # emits block 0
+    p2 = srv.process_block(np.zeros_like(feats[:, :6]), flush=True)  # block 1
+    probs = np.concatenate([np.asarray(p1), np.asarray(p2)], axis=1)
+    ref = ls_eend.ls_forward(params, mstate, cfgK, jnp.asarray(feats),
+                             jnp.array([T]), 4, time_mode="chunkwise")
+    ref_probs = np.asarray(jax.nn.sigmoid(ref["logits"][..., 1:]))
+    np.testing.assert_allclose(probs, ref_probs, atol=1e-5)
