@@ -29,6 +29,13 @@ import time
 os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "bfloat16")
 
 import jax
+
+# persistent compilation cache: this environment's remote-compile latency is
+# high and variable; a warm cache turns minutes of XLA compile into seconds
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 import jax.numpy as jnp
 import numpy as np
 
