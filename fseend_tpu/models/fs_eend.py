@@ -324,3 +324,128 @@ def fs_stream_scan(params: Params, state: Params, cfg: FSEENDConfig, bn_state,
     _, (logits, emb) = jax.lax.scan(step, state, (seq, flush))
     # outputs at scan step t correspond to input frame t - conv_delay
     return logits[cfg.conv_delay:].swapaxes(0, 1), emb[cfg.conv_delay:].swapaxes(0, 1)
+
+
+# ---------------------------------------------------------------------------
+# blockwise streaming — K queries per step against the KV caches
+# ---------------------------------------------------------------------------
+#
+# Masked attention is evaluation-order invariant, so attending a BLOCK of K
+# queries against the growing cache is numerically EXACT vs both the
+# per-frame path and the batch pass — it just replaces K sequential
+# vector-attention steps with one (K x cache) matmul.  The look-ahead conv
+# uses the same one-block-lag trick as the LS blockwise mode (the emitted
+# block is the previous one, whose +delay context is the new block's head).
+# Requires K >= conv_delay.
+
+
+def fs_blockstream_init(cfg: FSEENDConfig, batch: int, capacity: int,
+                        n_slots: int | None = None, block: int = 100,
+                        dtype=jnp.float32) -> Params:
+    assert block >= cfg.conv_delay
+    st = fs_stream_init(cfg, batch, capacity, n_slots, dtype)
+    st["h_prev"] = jnp.zeros((batch, block, cfg.n_units), dtype)
+    st["h_tail2"] = jnp.zeros((batch, cfg.conv_delay, cfg.n_units), dtype)
+    st["m"] = jnp.zeros((), jnp.int32)
+    del st["conv_buf"]
+    return st
+
+
+def _cached_attention_block(attn_p: Params, x_q: jnp.ndarray, cache: Params,
+                            start: jnp.ndarray):
+    """K-query attention against a fixed-capacity cache: writes the block's
+    k/v at [start, start+K), each query i attends positions <= start+i.
+    x_q: (..., K, D). Returns (out (..., K, D), new_cache)."""
+    q, k, v = nn.mha_project_qkv(attn_p, x_q, x_q, x_q)  # (..., H, K, hd)
+    K = x_q.shape[-2]
+    cap = cache["k"].shape[-2]
+    new_k = jax.lax.dynamic_update_slice_in_dim(cache["k"], k, start, axis=-2)
+    new_v = jax.lax.dynamic_update_slice_in_dim(cache["v"], v, start, axis=-2)
+    pos = jnp.arange(cap)[None, :]
+    qpos = start + jnp.arange(K)[:, None]
+    mask = jnp.where(pos <= qpos, 0.0, nn.NEG_INF)  # (K, cap)
+    out = nn.mha_core(q, new_k, new_v, mask)
+    out = nn._merge_heads(out)
+    out = nn.linear(attn_p["out_proj"], out)
+    return out, {"k": new_k, "v": new_v}
+
+
+def fs_blockstream_step(params: Params, state: Params, cfg: FSEENDConfig,
+                        bn_state, xs: jnp.ndarray, n_slots: int,
+                        enc_bypass=False):
+    """Consume block m (B, K, in_size), emit logits (B, K, n_slots) of block
+    m-1 (first call's output is warm-up garbage). enc_bypass=True drains the
+    final block with zero embeddings (stream-end flush)."""
+    B, K, _ = xs.shape
+    t = state["t"]
+    enc_bypass = jnp.asarray(enc_bypass)
+    # --- encoder on block m (eval BN) ---
+    h, _ = nn.batch_norm(params["enc"]["bn"], bn_state, xs, train=False)
+    h = nn.layer_norm(params["enc"]["norm"], nn.linear(params["enc"]["proj"], h))
+    new_enc_kv = []
+    for lp, cache in zip(params["enc"]["layers"], state["enc_kv"]):
+        a, new_cache = _cached_attention_block(lp["self_attn"], h, cache, t)
+        new_cache = jax.tree.map(
+            lambda new, old: jnp.where(enc_bypass, old, new), new_cache, cache)
+        h = nn.layer_norm(lp["norm1"], h + a)
+        h = nn.layer_norm(lp["norm2"], h + nn.ff_block(lp, h))
+        new_enc_kv.append(new_cache)
+    h = jnp.where(enc_bypass, 0.0, h)
+    # --- look-ahead conv emits block m-1 ---
+    window = jnp.concatenate(
+        [state["h_tail2"], state["h_prev"], h[:, :cfg.conv_delay]], axis=1)
+    emb = nn.conv1d(params["cnn"], window, padding=[(0, 0)])
+    emb = nn.l2_normalize(emb)
+    # --- decoder block (time axis aligned from stream frame 0) ---
+    u = state["emitted"]
+    first = state["m"] == 0
+    pe = nn.sinusoidal_table(cfg.pe_max_len, cfg.n_units)[:n_slots]
+    x = jnp.concatenate(
+        [jnp.broadcast_to(emb[:, :, None, :], (B, K, n_slots, cfg.n_units)),
+         jnp.broadcast_to(pe[None, None], (B, K, n_slots, cfg.n_units))], axis=-1)
+    x = nn.linear(params["dec"]["convert"], x)  # (B, K, C, D)
+    new_dec_kv = []
+    for lp, cache in zip(params["dec"]["layers"], state["dec_kv"]):
+        xt = x.swapaxes(1, 2)  # (B, C, K, D)
+        a, new_cache = _cached_attention_block(lp["time_attn"], xt, cache, u)
+        new_cache = jax.tree.map(
+            lambda new, old: jnp.where(first, old, new), new_cache, cache)
+        xt = nn.layer_norm(lp["norm11"], xt + a)
+        x = xt.swapaxes(1, 2)
+        s = nn.mha(lp["spk_attn"], x, x, x, None)
+        x = nn.layer_norm(lp["norm21"], x + s)
+        x = nn.layer_norm(lp["norm22"], x + nn.ff_block(lp, x))
+        new_dec_kv.append(new_cache)
+    attractors = nn.l2_normalize(x)
+    logits = jnp.einsum("bkd,bkcd->bkc", emb, attractors,
+                        preferred_element_type=jnp.float32)
+    new_state = {
+        "t": jnp.where(enc_bypass, t, t + K),
+        "emitted": jnp.where(first, u, u + K),
+        "enc_kv": new_enc_kv,
+        "dec_kv": new_dec_kv,
+        "h_prev": h,
+        "h_tail2": state["h_prev"][:, -cfg.conv_delay:],
+        "m": state["m"] + 1,
+    }
+    return new_state, logits
+
+
+def fs_blockstream_run(params: Params, cfg: FSEENDConfig, bn_state,
+                       xs: jnp.ndarray, n_slots: int, block: int):
+    """Whole-clip blockwise streaming; exactly equals the batch fs_forward."""
+    B, T, F = xs.shape
+    padT = (-T) % block
+    capacity = T + padT
+    state = fs_blockstream_init(cfg, B, capacity, n_slots, block, xs.dtype)
+    xs_p = jnp.pad(xs, ((0, 0), (0, padT), (0, 0)))
+    outs = []
+    for st_i in range(0, T + padT, block):
+        state, logits = fs_blockstream_step(
+            params, state, cfg, bn_state, xs_p[:, st_i:st_i + block], n_slots)
+        outs.append(logits)
+    state, logits = fs_blockstream_step(
+        params, state, cfg, bn_state, jnp.zeros((B, block, F), xs.dtype),
+        n_slots, enc_bypass=True)
+    outs.append(logits)
+    return jnp.concatenate(outs[1:], axis=1)[:, :T]

@@ -105,3 +105,24 @@ def test_train_mode_runs_with_dropout(model, rng):
     # BN running stats updated in train mode
     assert not np.allclose(np.asarray(out["state"]["bn"]["mean"]),
                            np.asarray(state["bn"]["mean"]))
+
+
+def test_blockstream_exact_vs_batch(model, rng):
+    """FS blockwise streaming == masked batch pass EXACTLY (masked attention
+    is evaluation-order invariant; the conv gets its look-ahead from the
+    next block's head)."""
+    params, state = model
+    B, T, K = 2, 20, 5
+    xs = jnp.asarray(rng.standard_normal((B, T, CFG.in_size)), jnp.float32)
+    batch = M.fs_forward(params, state, CFG, xs, jnp.full((B,), T), 4)
+    blk = M.fs_blockstream_run(params, CFG, state["bn"], xs, 4, block=K)
+    np.testing.assert_allclose(np.asarray(blk), np.asarray(batch["logits"]),
+                               atol=1e-5)
+    # non-multiple T: padding frames enter the encoder cache as zeros-BN'd
+    T2 = 18
+    xs2 = xs[:, :T2]
+    batch2 = M.fs_forward(params, state, CFG, xs2, jnp.full((B,), T2), 4)
+    blk2 = M.fs_blockstream_run(params, CFG, state["bn"], xs2, 4, block=K)
+    np.testing.assert_allclose(np.asarray(blk2[:, :T2 - CFG.conv_delay]),
+                               np.asarray(batch2["logits"][:, :T2 - CFG.conv_delay]),
+                               atol=1e-5)
