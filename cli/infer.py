@@ -50,7 +50,9 @@ def load_model(configs, ckpt_path):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--configs", required=True)
-    parser.add_argument("--wav", required=True)
+    parser.add_argument("--wav", default=None)
+    parser.add_argument("--wav_dir", default=None,
+                        help="run every wav/flac in a directory")
     parser.add_argument("--ckpt", default=None)
     parser.add_argument("--out", default=None)
     parser.add_argument("--threshold", type=float, default=0.5)
@@ -69,11 +71,40 @@ def main():
     data = configs["data"]
     model_cfg, task, params, mstate = load_model(configs, args.ckpt)
 
+    if args.wav_dir:
+        from fseend_tpu.data.dataset import FeatureConfig, PredictDataset
+
+        feat_cfg = FeatureConfig(
+            frame_size=data["feat"]["win_length"],
+            frame_shift=data["feat"]["hop_length"],
+            context_size=data["context_recp"], subsampling=data["subsampling"],
+            rate=data["feat"]["sample_rate"], input_transform=data["feat_type"])
+        ds = PredictDataset(args.wav_dir, feat_cfg)
+        for i in range(len(ds)):
+            feats_i, rec = ds[i]
+            _run_one(configs, model_cfg, task, params, mstate, feats_i, rec,
+                     args)
+        return
+    if not args.wav:
+        parser.error("need --wav or --wav_dir")
+
     feats = extract_fbank(
         args.wav, context_size=data["context_recp"],
         frame_size=data["feat"]["win_length"],
         frame_shift=data["feat"]["hop_length"],
         input_transform=data["feat_type"], subsampling=data["subsampling"])
+    rec = os.path.splitext(os.path.basename(args.wav))[0]
+    _run_one(configs, model_cfg, task, params, mstate, feats, rec, args)
+
+
+def _run_one(configs, model_cfg, task, params, mstate, feats, rec, args):
+    import jax
+    import jax.numpy as jnp
+
+    from fseend_tpu.models import fs_eend, ls_eend
+    from fseend_tpu.utils.rttm import make_rttm
+
+    data = configs["data"]
     xs = jnp.asarray(feats)[None]
     lens = jnp.array([len(feats)])
     max_slots = data["max_speakers"] + 2
@@ -83,8 +114,6 @@ def main():
         out = fs_eend.fs_test(params, mstate, model_cfg, xs, lens, max_slots)
     # drop silence slot 0, sigmoid (dia_pred.py:53-56)
     probs = np.asarray(jax.nn.sigmoid(out["logits"][0, :, 1:]))
-
-    rec = os.path.splitext(os.path.basename(args.wav))[0]
     rttm = make_rttm(rec, probs, frame_shift=data["feat"]["hop_length"],
                      subsampling=data["subsampling"],
                      sampling_rate=data["feat"]["sample_rate"],

@@ -187,3 +187,33 @@ class BlockStreamingServer:
 
     def blocks_consumed(self) -> int:
         return int(self.state["m"])
+
+    def reset_lanes(self, lanes):
+        """Reset lanes to fresh-stream state (γ=1 retention state is
+        position-independent, so per-lane reset is exact for LS)."""
+        mask = np.zeros((self.n_lanes,), bool)
+        mask[np.asarray(lanes)] = True
+        m = jnp.asarray(mask)
+        zero = ls_eend.ls_blockstream_init(
+            self.cfg, self.n_lanes, self.n_slots, self.block, self.dtype)
+
+        def reset_leaf(cur, z):
+            if cur.ndim == 0 or cur.shape[:1] != (self.n_lanes,):
+                return cur
+            mm = m.reshape((self.n_lanes,) + (1,) * (cur.ndim - 1))
+            return jnp.where(mm, z, cur)
+
+        # decoder states are (n_lanes*n_slots, ...): expand the mask
+        def reset_dec_leaf(cur, z):
+            if cur.shape[:1] == (self.n_lanes * self.n_slots,):
+                mm = jnp.repeat(m, self.n_slots)
+                mm = mm.reshape((cur.shape[0],) + (1,) * (cur.ndim - 1))
+                return jnp.where(mm, z, cur)
+            return cur
+
+        st = dict(self.state)
+        st["enc"] = jax.tree.map(reset_leaf, self.state["enc"], zero["enc"])
+        for k in ("h_prev", "h_tail2"):
+            st[k] = reset_leaf(self.state[k], zero[k])
+        st["dec"] = jax.tree.map(reset_dec_leaf, self.state["dec"], zero["dec"])
+        self.state = st
