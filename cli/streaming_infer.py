@@ -26,6 +26,9 @@ def main():
     parser.add_argument("--out", default=None)
     parser.add_argument("--check", action="store_true",
                         help="compare streaming vs batch output")
+    parser.add_argument("--block", type=int, default=0,
+                        help="blockwise-recurrent mode with this block size "
+                             "(0 = per-frame recurrent scan)")
     args = parser.parse_args()
 
     import jax
@@ -50,10 +53,17 @@ def main():
     n_slots = data["max_speakers"] + 2
 
     t0 = time.perf_counter()
-    if task.model == "ls":
+    if task.model == "ls" and args.block:
+        logits = ls_eend.ls_blockstream_run(params, model_cfg, mstate, xs,
+                                            n_slots, block=args.block)
+    elif task.model == "ls":
         st = ls_eend.ls_stream_init(model_cfg, 1, n_slots)
         logits, _ = ls_eend.ls_stream_scan(params, st, model_cfg, mstate, xs,
                                            n_slots)
+    elif args.block:
+        logits = fs_eend.fs_blockstream_run(params, model_cfg, mstate["bn"], xs,
+                                            n_slots, block=args.block)
+        logits = jnp.asarray(logits)
     else:
         st = fs_eend.fs_stream_init(model_cfg, 1,
                                     len(feats) + model_cfg.conv_delay, n_slots)

@@ -101,3 +101,27 @@ def test_block_streaming_server(rng):
                              jnp.array([T]), 4, time_mode="chunkwise")
     ref_probs = np.asarray(jax.nn.sigmoid(ref["logits"][..., 1:]))
     np.testing.assert_allclose(probs, ref_probs, atol=1e-5)
+
+
+def test_multichip_serving_lane_sharded(rng):
+    """8 virtual devices serve 8x lanes: sharded result == single-device."""
+    from fseend_tpu.parallel import mesh as pmesh
+    from fseend_tpu.serving.runtime import StreamingServer, shard_server_over_mesh
+
+    params, mstate = ls_eend.init_ls_eend(jax.random.PRNGKey(0), CFG)
+    feats = rng.standard_normal((8, 6, CFG.in_size)).astype(np.float32)
+
+    ref_srv = StreamingServer(kind="ls", cfg=CFG, params=params,
+                              model_state=mstate, n_lanes=8, n_slots=4)
+    p_ref, _ = ref_srv.process_block(feats)
+
+    mesh = pmesh.make_mesh(n_data=8, n_model=1)
+    srv = StreamingServer(kind="ls", cfg=CFG, params=params,
+                          model_state=mstate, n_lanes=8, n_slots=4)
+    with jax.set_mesh(mesh):
+        shard_server_over_mesh(srv, mesh)
+        p_sh, _ = srv.process_block(feats)
+    np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref), atol=1e-5)
+    # state stayed lane-sharded after the step
+    sh = srv.state["enc"][0]["ret"]["kv"].sharding
+    assert getattr(sh, "spec", None) is not None
