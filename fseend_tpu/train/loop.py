@@ -103,7 +103,7 @@ def run_training(
                 state.model_state),
             opt_state=state.opt_state, step=state.step)
 
-    train_step = trainer_lib.make_train_step(task, model_cfg, tx, donate=False)
+    train_step = trainer_lib.make_train_step(task, model_cfg, tx, donate=True)
     eval_step = trainer_lib.make_eval_step(task, model_cfg)
     rng = jax.random.PRNGKey(seed)
 

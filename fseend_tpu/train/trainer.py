@@ -116,9 +116,13 @@ def compute_loss(task: TaskConfig, cfg, params, model_state, batch, rng, *,
         emb_loss = losses.emb_consistency_loss(out["emb"], tgt)
 
     total = pit_loss + task.consis_weight * emb_loss
+    # DER proxy over the real-speaker slots only (columns 1..n_spk per
+    # sample, like the reference's preds_realspk = p[:, 1:-1] on per-sample
+    # (n_spk+2)-column tensors, oln_tfm_enc_dec.py:127-129)
+    real_mask = jnp.arange(1, S + 1)[None, :] <= n_spk[:, None]
     counters = losses.diarization_error_counters(
         jax.lax.stop_gradient(logits[..., 1:-1]), tgt[..., 1:-1], lens,
-        slot_mask[..., 1:-1], label_delay=task.label_delay)
+        real_mask, label_delay=task.label_delay)
     metrics = {"pit_loss": pit_loss, "emb_loss": emb_loss, "tot_loss": total,
                **counters}
     return total, (out["state"], metrics)

@@ -132,3 +132,33 @@ def test_aggregate_metrics():
     assert agg["pit_loss"] == 2.0
     assert agg["speaker_scored"] == 40
     np.testing.assert_allclose(agg["DER"], 0.1)
+
+
+def test_multichip_ls_tp_matches_single_device(rng):
+    """LS-EEND (retention + conformer) under DPxTP == single-device: the
+    tensor-parallel sharding rules must respect retention's per-head
+    group-norm boundaries."""
+    assert jax.device_count() >= 8
+    cfg = ls_eend.LSEENDConfig(
+        in_size=23, n_units=32, n_heads=4, enc_n_layers=1, dec_n_layers=1,
+        dropout=0.0, chunk_size=8, ff_expansion=2, conv_kernel_size=5,
+        dec_dim_feedforward=64, conv_delay=3, max_nspks=4)
+    params, mstate = ls_eend.init_ls_eend(jax.random.PRNGKey(0), cfg)
+    task = trainer.TaskConfig(model="ls", label_mode="fixed", masked_emb_loss=True)
+    tx = optim.build_optimizer("adam", lr=1e-3)
+    batch = make_batch(rng, B=8, T=16)
+    key = jax.random.PRNGKey(3)
+
+    s0 = trainer.TrainState.create(params, mstate, tx)
+    step0 = trainer.make_train_step(task, cfg, tx, donate=False)
+    s0, m0 = step0(s0, batch, key)
+
+    mesh = pmesh.make_mesh(n_data=4, n_model=2)
+    with jax.set_mesh(mesh):
+        sp = pmesh.shard_params(params, mesh, tensor_parallel=True)
+        s1 = trainer.TrainState.create(sp, jax.tree.map(
+            lambda x: jax.device_put(x, pmesh.replicated(mesh)), mstate), tx)
+        step1 = trainer.make_train_step(task, cfg, tx, donate=False)
+        s1, m1 = step1(s1, pmesh.shard_batch(batch, mesh), key)
+    np.testing.assert_allclose(float(m0["tot_loss"]), float(m1["tot_loss"]),
+                               rtol=1e-5)
