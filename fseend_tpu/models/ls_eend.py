@@ -357,6 +357,7 @@ def _conv_module_step(p: Params, bn_state, x_t: jnp.ndarray, cache: jnp.ndarray,
 def _block_step(p: Params, bn_state, x_t: jnp.ndarray, st: Params,
                 cfg: LSEENDConfig):
     """One-step conformer block (encoder.py:115-123)."""
+    x_t = x_t.astype(st["conv"].dtype)
     x = x_t + cfg.ff_factor * _ff(p["ff1"], x_t)
     h = nn.layer_norm(p["ret_norm"], x)
     h, ret_state = R.retention_recurrent_step(p["ret"], h, st["ret"], cfg.ret_cfg)
@@ -365,7 +366,7 @@ def _block_step(p: Params, bn_state, x_t: jnp.ndarray, st: Params,
     x = x + h
     x = x + cfg.ff_factor * _ff(p["ff2"], x)
     x = nn.layer_norm(p["final_norm"], x)
-    return x, {"ret": ret_state, "conv": conv_cache}
+    return x, {"ret": ret_state, "conv": conv_cache.astype(st["conv"].dtype)}
 
 
 def ls_stream_step(params: Params, state: Params, cfg: LSEENDConfig, model_state,
@@ -408,10 +409,11 @@ def ls_stream_step(params: Params, state: Params, cfg: LSEENDConfig, model_state
         new_dec.append(ret_state)
     attractors = nn.l2_normalize(x)
     logits = jnp.einsum("bd,bcd->bc", emb, attractors, preferred_element_type=jnp.float32)
+    sd = state["cnn_buf"].dtype
     new_state = {
         "t": jnp.where(flush, t, t + 1),
         "enc": new_enc,
-        "cnn_buf": cnn_buf,
+        "cnn_buf": cnn_buf.astype(sd),
         "dec": new_dec,
     }
     return new_state, {"logits": logits, "emb": emb, "valid": valid}

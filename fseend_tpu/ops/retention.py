@@ -259,8 +259,10 @@ def retention_chunkwise_stateful(p: Params, x: jnp.ndarray, state: Params | None
                            kv_recurrent, preferred_element_type=jnp.float32)
     all_scale = jnp.maximum(inner_scale, cross_scale)
     out = inner_out * (inner_scale / all_scale) + cross_out * (cross_scale / all_scale)
-    out = out.transpose(1, 2, 0, 3, 4).reshape(B, H, T, dv)
-    return _finish(p, out, g, cfg), {"kv": kv_f, "scale": scale_f}
+    out = out.transpose(1, 2, 0, 3, 4).reshape(B, H, T, dv).astype(x.dtype)
+    sd = state["kv"].dtype if state is not None else x.dtype
+    return _finish(p, out, g, cfg), {"kv": kv_f.astype(sd),
+                                     "scale": scale_f.astype(sd)}
 
 
 # ---------------------------------------------------------------------------
@@ -302,10 +304,13 @@ def retention_recurrent_step(p: Params, x_t: jnp.ndarray, state: Params,
     out = jnp.einsum("bhk,bhvk->bhv", q, kv, preferred_element_type=jnp.float32)
 
     out = nn.layer_norm(None, out, eps=1e-6)  # (B, H, dv) non-affine
-    out = out.reshape(B, H * dv)
+    out = out.reshape(B, H * dv).astype(x_t.dtype)
     out = jax.nn.silu(g) * out
     out = nn.linear(p["out_proj"], out)
-    return out, {"kv": kv, "scale": scale}
+    # keep the carried state in its own dtype (bf16 serving states must not
+    # be promoted by the f32 decay constants)
+    sd = state["kv"].dtype
+    return out, {"kv": kv.astype(sd), "scale": scale.astype(state["scale"].dtype)}
 
 
 def retention_recurrent(p: Params, x: jnp.ndarray, cfg: RetentionConfig) -> jnp.ndarray:

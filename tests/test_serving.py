@@ -125,3 +125,21 @@ def test_multichip_serving_lane_sharded(rng):
     # state stayed lane-sharded after the step
     sh = srv.state["enc"][0]["ret"]["kv"].sharding
     assert getattr(sh, "spec", None) is not None
+
+
+def test_bf16_serving_states_stable(rng):
+    """bf16 lane state survives the scan (dtype-preserving updates) and
+    tracks the f32 path within bf16 tolerance."""
+    params, mstate = ls_eend.init_ls_eend(jax.random.PRNGKey(0), CFG)
+    feats = rng.standard_normal((1, 10, CFG.in_size)).astype(np.float32)
+    srv32 = StreamingServer(kind="ls", cfg=CFG, params=params,
+                            model_state=mstate, n_lanes=1, n_slots=4)
+    p32, _ = srv32.process_block(feats)
+    p_bf = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype") and
+        x.dtype == jnp.float32 else x, params)
+    srv16 = StreamingServer(kind="ls", cfg=CFG, params=p_bf,
+                            model_state=mstate, n_lanes=1, n_slots=4,
+                            dtype=jnp.bfloat16)
+    p16, _ = srv16.process_block(feats.astype(jnp.bfloat16))
+    assert np.abs(np.asarray(p16, np.float32) - np.asarray(p32)).max() < 0.1
