@@ -72,15 +72,22 @@ def main():
     params, mstate = ls_eend.init_ls_eend(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
     lanes = int(os.environ.get("BENCH_LANES", "128"))
+    # serve in bf16 (state updates are dtype-preserving; outputs verified
+    # within bf16 tolerance of f32 in tests) — 1.5x on the per-frame path
+    dt = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
+    cast = lambda t: jax.tree.map(
+        lambda x: x.astype(dt) if hasattr(x, "dtype") and x.dtype == jnp.float32
+        else x, t)
+    params, mstate = cast(params), cast(mstate)
 
     # --- mode 1: per-frame recurrent scan (fast compile ~2 min) ---
     block = int(os.environ.get("BENCH_BLOCK", "500"))
     n_rep = int(os.environ.get("BENCH_BLOCKS", "10"))
     server = StreamingServer(kind="ls", cfg=cfg, params=params,
                              model_state=mstate, n_lanes=lanes,
-                             n_slots=cfg.max_nspks)
+                             n_slots=cfg.max_nspks, dtype=dt)
     xs = jax.device_put(
-        rng.standard_normal((lanes, block, cfg.in_size)).astype(np.float32))
+        jnp.asarray(rng.standard_normal((lanes, block, cfg.in_size)), dt))
     p, _ = server.process_block(xs)
     jax.block_until_ready(p)
     t0 = time.perf_counter()
@@ -97,9 +104,9 @@ def main():
 
     # --- mode 2: blockwise-recurrent (chunkwise-exact; K/10Hz latency) ---
     K = int(os.environ.get("BENCH_BLOCKWISE_K", "100"))
-    st = ls_eend.ls_blockstream_init(cfg, lanes, cfg.max_nspks, K)
+    st = ls_eend.ls_blockstream_init(cfg, lanes, cfg.max_nspks, K, dt)
     xsb = jax.device_put(
-        rng.standard_normal((lanes, K, cfg.in_size)).astype(np.float32))
+        jnp.asarray(rng.standard_normal((lanes, K, cfg.in_size)), dt))
     step = jax.jit(
         lambda s, x: ls_eend.ls_blockstream_step(params, s, cfg, mstate, x,
                                                  cfg.max_nspks),
