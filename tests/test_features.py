@@ -156,3 +156,21 @@ def test_config_ref_interpolation(tmp_path):
     assert cfg["model"]["params"]["twice"] == 1000
     cfg2 = load_config(p, overrides={"data.chunk_size": 100})
     assert cfg2["model"]["params"]["max_seqlen"] == 100
+
+
+def test_enhancement_hook(rng):
+    from fseend_tpu.ops.enhancement import (IdentityEnhancer,
+                                            SpectralSubtractionEnhancer,
+                                            enhance_features)
+
+    logmel = rng.standard_normal((40, 23)).astype(np.float32) - 5.0
+    assert np.array_equal(enhance_features(logmel, None), logmel)
+    assert np.array_equal(enhance_features(logmel, IdentityEnhancer()), logmel)
+    enh = SpectralSubtractionEnhancer()
+    out = enh(logmel)
+    assert out.shape == logmel.shape
+    assert (out >= 0).all()  # noise floor subtracted in log domain
+    # causal: future frames don't change the past
+    logmel2 = logmel.copy()
+    logmel2[30:] += 50
+    np.testing.assert_array_equal(enh(logmel2)[:30], out[:30])
