@@ -84,7 +84,7 @@ def _stft_window(win_length: int, n_fft: int) -> np.ndarray:
     """Hann(win_length) zero-padded centered to n_fft (librosa util.pad_center)."""
     win = _hann(win_length)
     lpad = (n_fft - win_length) // 2
-    return np.pad(win, (lpad, n_fft - win_length - lpad)).astype(np.float64)
+    return np.pad(win, (lpad, n_fft - win_length - lpad))
 
 
 def stft(data: np.ndarray, frame_size: int = 200, frame_shift: int = 80) -> np.ndarray:
@@ -96,8 +96,12 @@ def stft(data: np.ndarray, frame_size: int = 200, frame_shift: int = 80) -> np.n
     when ``len(data) % frame_shift == 0``.
     """
     n_fft = 1 << (int(frame_size) - 1).bit_length()
-    window = _stft_window(frame_size, n_fft)
-    x = np.asarray(data, dtype=np.float64)
+    x = np.asarray(data)
+    if x.dtype not in (np.float32, np.float64):
+        x = x.astype(np.float32)
+    # librosa computes in the input's precision (float32 wavs -> complex64);
+    # following it is both a parity point and ~2x faster on the host
+    window = _stft_window(frame_size, n_fft).astype(x.dtype)
     # center=True constant padding
     x = np.pad(x, (n_fft // 2, n_fft // 2))
     n_frames = 1 + (len(x) - n_fft) // frame_shift
@@ -108,7 +112,11 @@ def stft(data: np.ndarray, frame_size: int = 200, frame_shift: int = 80) -> np.n
         strides=(x.strides[0] * frame_shift, x.strides[0]),
         writeable=False,
     )
-    spec = np.fft.rfft(frames * window, axis=-1).astype(np.complex64)
+    import scipy.fft
+
+    # scipy.fft computes float32 natively (numpy upcasts to float64)
+    out_dtype = np.complex64 if x.dtype == np.float32 else np.complex128
+    spec = scipy.fft.rfft(frames * window, axis=-1).astype(out_dtype)
     if len(data) % frame_shift == 0:
         # reference drops librosa's "excessive" final frame in this case
         spec = spec[:-1]
@@ -165,7 +173,8 @@ def mel_filterbank(sr: int, n_fft: int, n_mels: int) -> np.ndarray:
     # slaney area normalization
     enorm = 2.0 / (mel_f[2 : n_mels + 2] - mel_f[:n_mels])
     weights *= enorm[:, None]
-    return weights.astype(np.float64)
+    # librosa computes the bank in float64 and returns float32
+    return weights.astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -176,7 +185,7 @@ def mel_filterbank(sr: int, n_fft: int, n_mels: int) -> np.ndarray:
 def _logmel(Y_abs: np.ndarray, sr: int, n_mels: int) -> np.ndarray:
     n_fft = 2 * (Y_abs.shape[1] - 1)
     mel = mel_filterbank(sr, n_fft, n_mels)
-    out = np.dot(Y_abs.astype(np.float64) ** 2, mel.T)
+    out = np.dot(Y_abs ** 2, mel.T)  # f32 like the reference
     return np.log10(np.maximum(out, 1e-10))
 
 
