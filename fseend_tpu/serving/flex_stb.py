@@ -30,6 +30,34 @@ def kl_weights(y: np.ndarray) -> np.ndarray:
     return kld / kld.sum()
 
 
+def kl_weights_v2(y: np.ndarray) -> np.ndarray:
+    """Variant with per-frame importance r = sum_s y/colsum (upd_buf_ver2,
+    utils.py:32-58)."""
+    T, S = y.shape
+    p = y / np.maximum(y.sum(axis=1, keepdims=True), 1e-12)
+    p = np.where(p == 0, 1e-6, p)
+    r = (y / np.maximum(y.sum(axis=0, keepdims=True), 1e-12)).sum(axis=1)
+    kld = r * (p * np.log(p * S)).sum(axis=1)
+    kld = np.maximum(kld, 1e-12)
+    return kld / kld.sum()
+
+
+def split_results(labels: np.ndarray, preds: np.ndarray, blk_size: int):
+    """Split a recording's labels/preds into blocks, keeping per-block active
+    speakers only (reference split_results, loss.py:26-41). Returns
+    (label_blocks, pred_blocks, n_speakers_per_block)."""
+    out_l, out_p, out_n = [], [], []
+    T = len(labels)
+    for st in range(0, T, blk_size):
+        ed = min(st + blk_size, T)
+        active = labels[:ed].max(axis=0) > 0
+        n = int(active.sum())
+        out_l.append(labels[st:ed][:, active])
+        out_p.append(preds[st:ed][:, :n])
+        out_n.append(n)
+    return out_l, out_p, out_n
+
+
 def update_buffer(x_buf, x_i, y_buf, y_i, buf_size: int, rng: np.random.Generator):
     """Weighted sampling without replacement of buf_size frames from
     buffer+block (utils.py:60-87). Returns (x_buf', y_buf')."""

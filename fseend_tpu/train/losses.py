@@ -114,12 +114,15 @@ def _perm_table(S: int):
     return jnp.asarray(perms), jnp.asarray(t_inds), jnp.asarray(valid)
 
 
-def batch_pit_loss(logits, labels, lens, n_speakers, label_delay: int = 0):
+def batch_pit_loss(logits, labels, lens, n_speakers, label_delay: int = 0,
+                   from_logits: bool = True):
     """Rolled-cost PIT over real-speaker columns (loss.py:257-327), O(S^2)
     cost build + S! table lookup, all on device.
 
     logits/labels: (B, T, S). n_speakers: (B,) true count per sample (columns
     >= n are padding; invalid permutations are masked like the reference).
+    from_logits=False scores post-sigmoid probabilities instead (the
+    reference's batch_pit_n_speaker_loss2, loss.py:406-476).
     Returns (loss, permuted_labels (B, T, S), perm_idx (B, S)).
     """
     B, T, S = logits.shape
@@ -130,7 +133,11 @@ def batch_pit_loss(logits, labels, lens, n_speakers, label_delay: int = 0):
 
     # cost[b, i, j] = summed BCE of logit column i against label column (i+j)%S
     rolled = jnp.stack([jnp.roll(labels_d, -j, axis=2) for j in range(S)], axis=3)
-    cell = bce_with_logits(logits_d[..., None], rolled)  # (B, Td, S, S)
+    if from_logits:
+        cell = bce_with_logits(logits_d[..., None], rolled)  # (B, Td, S, S)
+    else:
+        p = jnp.clip(logits_d[..., None], 1e-7, 1 - 1e-7)
+        cell = -(rolled * jnp.log(p) + (1 - rolled) * jnp.log1p(-p))
     costs = (cell * frame_mask[:, :, None, None]).sum(axis=1)  # (B, S, S)
 
     # losses_perm[b, p] = mean_i costs[b, i, t_inds[p, i]]

@@ -124,3 +124,16 @@ def test_update_buffer_prefers_peaky_frames(rng):
     y[:10] = [0.99, 0.01]  # informative frames
     xb, yb = update_buffer(x[:20], x[20:], y[:20], y[20:], buf_size=12, rng=g)
     assert xb.shape == (12, 4) and yb.shape == (12, 2)
+
+
+def test_split_results_and_kl_v2(rng):
+    from fseend_tpu.serving.flex_stb import kl_weights_v2, split_results
+
+    labels = np.zeros((25, 3), np.float32)
+    labels[:10, 0] = 1
+    labels[5:20, 1] = 1
+    preds = rng.uniform(size=(25, 3)).astype(np.float32)
+    ls_, ps_, ns_ = split_results(labels, preds, blk_size=10)
+    assert ns_[0] == 2 and ls_[0].shape == (10, 2) and ps_[0].shape == (10, 2)
+    w = kl_weights_v2(rng.uniform(size=(30, 2)).astype(np.float32))
+    np.testing.assert_allclose(w.sum(), 1.0, atol=1e-6)

@@ -163,3 +163,20 @@ def test_attractor_existence_loss():
     # labels [1,1,0], mask first 3; near-perfect prediction -> small loss
     loss = LS.attractor_existence_loss(logits, n_spk)
     assert float(loss) < 0.01
+
+
+def test_batch_pit_loss_post_sigmoid_variant(rng):
+    """from_logits=False == batch_pit_n_speaker_loss2 semantics."""
+    B, T, S = 2, 10, 2
+    logits = rng.standard_normal((B, T, S)).astype(np.float32)
+    labels = (rng.uniform(size=(B, T, S)) > 0.5).astype(np.float32)
+    lens = np.full(B, T)
+    n_spk = np.full(B, S)
+    l1, p1, _ = LS.batch_pit_loss(jnp.asarray(logits), jnp.asarray(labels),
+                                  jnp.asarray(lens), jnp.asarray(n_spk))
+    probs = 1 / (1 + np.exp(-logits))
+    l2, p2, _ = LS.batch_pit_loss(jnp.asarray(probs), jnp.asarray(labels),
+                                  jnp.asarray(lens), jnp.asarray(n_spk),
+                                  from_logits=False)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
