@@ -1,0 +1,35 @@
+"""Sequence-parallel ops == single-device ops on the 8-device virtual mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fseend_tpu.ops import nn
+from fseend_tpu.ops import retention as R
+from fseend_tpu.parallel import mesh as pmesh
+from fseend_tpu.parallel import sp
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8
+    return pmesh.make_mesh(n_data=8, n_model=1)
+
+
+def test_sp_causal_mha_matches_single_device(mesh, rng):
+    D, H, B, T = 32, 4, 2, 32
+    p = nn.mha_init(jax.random.PRNGKey(0), D, H)
+    x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    ref = nn.mha(p, x, x, x, nn.causal_mask(T)[None, None])
+    got = sp.sp_causal_mha(p, x, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_sp_retention_parallel_matches_single_device(mesh, rng):
+    cfg = R.RetentionConfig(embed_dim=32, num_heads=4, chunk_size=8)
+    p = R.init_retention(jax.random.PRNGKey(1), cfg)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 32, 32)), jnp.float32)
+    ref = R.retention_parallel(p, x, cfg)
+    got = sp.sp_retention_parallel(p, x, cfg, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
