@@ -58,6 +58,12 @@ def score_rttm_pair(ref_path, hyp_path, collar_sec):
     from fseend_tpu.utils.rttm import read_rttm
 
     refs, hyps = read_rttm(ref_path), read_rttm(hyp_path)
+    if not (refs.keys() & hyps.keys()):
+        # recording ids don't overlap (common when files come from different
+        # pipelines, e.g. the reference's bundled samples): align by order
+        print(f"warning: no common recording ids between {ref_path} and "
+              f"{hyp_path}; aligning by sorted order", file=sys.stderr)
+        hyps = dict(zip(sorted(refs), (hyps[k] for k in sorted(hyps))))
     total = DERComponents()
     for rec, ref in refs.items():
         c = der_components(ref, hyps.get(rec, []), collar=collar_sec)
