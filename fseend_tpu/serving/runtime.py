@@ -150,11 +150,15 @@ def stream_file(server: StreamingServer, feats: np.ndarray, block: int = 128):
 
 @dataclasses.dataclass
 class BlockStreamingServer:
-    """LS-EEND blockwise-recurrent server: consumes fixed-size K-frame blocks
-    per lane, emits the previous block's probabilities (one-block lag +
-    conv_delay alignment; see models/ls_eend.py blockwise section).  This is
-    the highest-throughput serving mode; use `StreamingServer` for
-    frame-level latency."""
+    """Blockwise streaming server (LS and FS): consumes fixed-size K-frame
+    blocks per lane, emits the previous block's probabilities (one-block lag
+    + conv_delay alignment; see the blockwise sections of models/ls_eend.py
+    and models/fs_eend.py).  Highest-throughput serving mode; use
+    `StreamingServer` for frame-level latency.
+
+    LS lanes carry O(1) chunkwise-retention state (bit-exact vs batch
+    chunkwise); FS lanes carry bounded KV caches and are bit-exact vs the
+    masked batch pass (capacity = max call length)."""
 
     cfg: Any
     params: Any
@@ -162,18 +166,31 @@ class BlockStreamingServer:
     n_lanes: int
     n_slots: int
     block: int = 100
+    kind: str = "ls"          # "ls" | "fs"
+    capacity: int = 4096      # fs only
     dtype: Any = jnp.float32
 
     def __post_init__(self):
         assert self.block >= self.cfg.conv_delay
-        self.state = ls_eend.ls_blockstream_init(
-            self.cfg, self.n_lanes, self.n_slots, self.block, self.dtype)
+        if self.kind == "fs":
+            self.state = fs_eend.fs_blockstream_init(
+                self.cfg, self.n_lanes, self.capacity, self.n_slots,
+                self.block, self.dtype)
 
-        def step(state, xs, enc_bypass):
-            new_state, logits = ls_eend.ls_blockstream_step(
-                self.params, state, self.cfg, self.model_state, xs,
-                self.n_slots, enc_bypass=enc_bypass)
-            return new_state, jax.nn.sigmoid(logits[..., 1:])
+            def step(state, xs, enc_bypass):
+                new_state, logits = fs_eend.fs_blockstream_step(
+                    self.params, state, self.cfg, self.model_state["bn"], xs,
+                    self.n_slots, enc_bypass=enc_bypass)
+                return new_state, jax.nn.sigmoid(logits[..., 1:])
+        else:
+            self.state = ls_eend.ls_blockstream_init(
+                self.cfg, self.n_lanes, self.n_slots, self.block, self.dtype)
+
+            def step(state, xs, enc_bypass):
+                new_state, logits = ls_eend.ls_blockstream_step(
+                    self.params, state, self.cfg, self.model_state, xs,
+                    self.n_slots, enc_bypass=enc_bypass)
+                return new_state, jax.nn.sigmoid(logits[..., 1:])
 
         self._step = jax.jit(step, donate_argnums=(0,))
 
@@ -187,6 +204,11 @@ class BlockStreamingServer:
 
     def blocks_consumed(self) -> int:
         return int(self.state["m"])
+
+    def reset_all(self):
+        """Fresh state for every lane (FS caches are position-dependent, so
+        FS resets are whole-batch; LS supports per-lane reset_lanes)."""
+        self.__post_init__()
 
     def reset_lanes(self, lanes):
         """Reset lanes to fresh-stream state (γ=1 retention state is

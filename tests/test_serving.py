@@ -143,3 +143,27 @@ def test_bf16_serving_states_stable(rng):
                             dtype=jnp.bfloat16)
     p16, _ = srv16.process_block(feats.astype(jnp.bfloat16))
     assert np.abs(np.asarray(p16, np.float32) - np.asarray(p32)).max() < 0.1
+
+
+def test_fs_block_streaming_server(rng):
+    from fseend_tpu.models import fs_eend
+    from fseend_tpu.serving.runtime import BlockStreamingServer
+
+    cfg = fs_eend.FSEENDConfig(
+        in_size=23, n_units=32, n_heads=4, enc_n_layers=1, dec_n_layers=1,
+        enc_dim_feedforward=64, dec_dim_feedforward=64, dropout=0.0,
+        conv_delay=2, max_nspks=4)
+    params, mstate = fs_eend.init_fs_eend(jax.random.PRNGKey(0), cfg)
+    srv = BlockStreamingServer(cfg=cfg, params=params, model_state=mstate,
+                               n_lanes=1, n_slots=4, block=6, kind="fs",
+                               capacity=32)
+    T = 12
+    feats = rng.standard_normal((1, T, cfg.in_size)).astype(np.float32)
+    _ = srv.process_block(feats[:, :6])
+    p1 = srv.process_block(feats[:, 6:])
+    p2 = srv.process_block(np.zeros_like(feats[:, :6]), flush=True)
+    probs = np.concatenate([np.asarray(p1), np.asarray(p2)], axis=1)
+    ref = fs_eend.fs_forward(params, mstate, cfg, jnp.asarray(feats),
+                             jnp.array([T]), 4)
+    ref_probs = np.asarray(jax.nn.sigmoid(ref["logits"][..., 1:]))
+    np.testing.assert_allclose(probs, ref_probs, atol=1e-5)
