@@ -34,14 +34,19 @@ def score_h5_dir(configs, hyp_dir, threshold, median, collar):
         use_last_samples=data.get("use_last_samples", True),
         n_speakers=data.get("num_speakers"))
     total = DERComponents()
+    # concatenate chunk labels per recording (chunk order == dataset order)
+    rec_labels: dict[str, list] = {}
     for i in range(len(ds)):
         ref, rec = ds.full_labels(i)
+        rec_labels.setdefault(rec, []).append(np.asarray(ref))
+    for rec, parts in rec_labels.items():
         path = os.path.join(hyp_dir, rec + ".h5")
         if not os.path.exists(path):
             print(f"missing hypothesis for {rec}", file=sys.stderr)
             continue
+        ref = np.concatenate(parts, axis=0)
         hyp = load_h5_probs(path)
-        c = score_frames(np.asarray(ref), hyp, threshold=threshold,
+        c = score_frames(ref, hyp, threshold=threshold,
                          median=median, collar_frames=collar,
                          subsampling=data["subsampling"])
         total += c

@@ -121,6 +121,7 @@ def evaluate_folder(configs, folder):
     h5_dir = os.path.join(folder, "preds_h5")
     os.makedirs(h5_dir, exist_ok=True)
     ms = []
+    per_rec: dict[str, list] = {}
     for batch in batched(ds, range(len(ds)), 1, data["chunk_size"],
                          data["max_speakers"], feat.input_dim, drop_last=False):
         recs = batch.pop("recs")
@@ -128,14 +129,18 @@ def evaluate_folder(configs, folder):
         out = test_fn(params, mstate, model_cfg, b["feats"], b["lens"], max_slots)
         slot_labels, _ = labels_lib.prepare_labels(b["labels"], b["lens"], b["n_spk"])
         # frame-level DER proxy over real-speaker slots (test_step :186-194)
-        n = int(b["n_spk"][0])
         stats = losses.diarization_error_counters(
             out["logits"][..., 1:1 + data["max_speakers"]],
             slot_labels[..., 1:1 + data["max_speakers"]], b["lens"],
             jnp.arange(data["max_speakers"])[None] < b["n_spk"][:, None])
         ms.append(jax.tree.map(np.asarray, stats))
         probs = np.asarray(jax.nn.sigmoid(out["logits"][0, : int(b["lens"][0]), 1:]))
-        save_h5_probs(os.path.join(h5_dir, recs[0] + ".h5"), probs)
+        # chunks arrive in order per rec; concatenate before writing so a
+        # recording split into several eval chunks yields ONE h5
+        per_rec.setdefault(recs[0], []).append(probs)
+    for rec, parts in per_rec.items():
+        save_h5_probs(os.path.join(h5_dir, rec + ".h5"),
+                      np.concatenate(parts, axis=0))
     agg = trainer_lib.aggregate_metrics(ms)
     print({f"test/{k}": round(float(v), 5) for k, v in agg.items()})
     print(f"h5 predictions -> {h5_dir} (score with cli.score --hyp_dir)")
