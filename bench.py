@@ -98,6 +98,20 @@ def main():
     _record(fps1, f"per-frame recurrent scan (lanes={lanes}, "
                   f"{fps1 / lanes / 10:.0f}x realtime/lane)")
 
+    # p50 single-frame latency (includes this environment's ~30-40 ms
+    # per-dispatch relay overhead; on-device compute is ~0.3 ms/frame-step)
+    x1 = xs[:, :1]
+    p, _ = server.process_block(x1)
+    jax.block_until_ready(p)
+    lat = []
+    for _ in range(30):
+        t = time.perf_counter()
+        p, _ = server.process_block(x1)
+        jax.block_until_ready(p)
+        lat.append((time.perf_counter() - t) * 1e3)
+    print(f"[bench] p50 single-frame latency: {np.percentile(lat, 50):.2f} ms "
+          f"(relay-dispatch bound)", file=sys.stderr, flush=True)
+
     if os.environ.get("BENCH_FAST"):
         print(json.dumps(_RESULT))
         return

@@ -28,8 +28,6 @@ per-head k/v so each step is O(t * d) attention + O(d^2) projections.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 

@@ -16,7 +16,6 @@ converted 1:1 (see fseend_tpu/utils/torch_convert.py).
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Any
 
 import jax

@@ -20,12 +20,9 @@ O(1) and the lane (stream) axis is the natural data-parallel axis
 
 from __future__ import annotations
 
-import math
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from fseend_tpu.ops import nn
 from fseend_tpu.ops import retention as R

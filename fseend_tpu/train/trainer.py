@@ -19,7 +19,6 @@ Batches are fixed-shape dicts:
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Callable
 
 import jax
@@ -27,7 +26,6 @@ import jax.numpy as jnp
 import optax
 
 from fseend_tpu.models import fs_eend, ls_eend
-from fseend_tpu.parallel import mesh as pmesh
 from fseend_tpu.train import labels as labels_lib
 from fseend_tpu.train import losses
 
