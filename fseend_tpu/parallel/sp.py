@@ -100,3 +100,93 @@ def sp_retention_parallel(p, x: jnp.ndarray, cfg: R.RetentionConfig,
         in_specs=P(None, axis, None),
         out_specs=P(None, axis, None),
     )(x)
+
+
+def _halo_exchange(h: jnp.ndarray, delay: int, axis: str):
+    """Gather ±delay edge frames from ring neighbors (zero beyond the global
+    sequence). h: (B, Tl, D) local shard -> (B, Tl + 2*delay, D)."""
+    n = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+    right_edge = h[:, -delay:]   # goes to the right neighbor's left halo
+    left_edge = h[:, :delay]     # goes to the left neighbor's right halo
+    left_halo = jax.lax.ppermute(right_edge, axis,
+                                 [(i, (i + 1) % n) for i in range(n)])
+    right_halo = jax.lax.ppermute(left_edge, axis,
+                                  [(i, (i - 1) % n) for i in range(n)])
+    left_halo = jnp.where(idx == 0, 0.0, left_halo)       # global left edge
+    right_halo = jnp.where(idx == n - 1, 0.0, right_halo)  # global right edge
+    return jnp.concatenate([left_halo, h, right_halo], axis=1)
+
+
+def fs_forward_sp(params, state, cfg, xs: jnp.ndarray, mesh: Mesh,
+                  n_slots: int, axis: str = "data") -> jnp.ndarray:
+    """FULL FS-EEND forward with the TIME axis sharded over `axis` — the
+    long-form offline scoring path (each chip holds T/n frames).
+
+    Collectives per pass: one k/v all-gather per attention layer (enc
+    layers + decoder time attention) and one ±conv_delay halo exchange
+    (ppermute) for the look-ahead conv.  Pointwise pieces (BN-eval, FFs,
+    norms, speaker attention, logits) need no communication.
+    Bit-equal to fs_forward (eval mode, full-length input).
+    """
+    from fseend_tpu.models import fs_eend
+
+    B, T, F = xs.shape
+    n = mesh.shape[axis]
+    assert T % n == 0
+    Tl = T // n
+    delay = cfg.conv_delay
+
+    def local(x_local):
+        idx = jax.lax.axis_index(axis)
+        h, _ = nn.batch_norm(params["enc"]["bn"], state["bn"], x_local,
+                             train=False)
+        h = nn.layer_norm(params["enc"]["norm"],
+                          nn.linear(params["enc"]["proj"], h))
+
+        def sp_attn(attn_p, x):
+            q, k, v = nn.mha_project_qkv(attn_p, x, x, x)
+            # time is the second-to-last axis of the per-head tensors
+            t_ax = k.ndim - 2
+            k_all = jax.lax.all_gather(k, axis, axis=t_ax, tiled=True)
+            v_all = jax.lax.all_gather(v, axis, axis=t_ax, tiled=True)
+            qpos = idx * Tl + jnp.arange(Tl)[:, None]
+            kpos = jnp.arange(T)[None, :]
+            mask = jnp.where(kpos <= qpos + cfg.mask_delay, 0.0, nn.NEG_INF)
+            out = nn._merge_heads(nn.mha_core(q, k_all, v_all, mask))
+            return nn.linear(attn_p["out_proj"], out)
+
+        for lp in params["enc"]["layers"]:
+            a = sp_attn(lp["self_attn"], h)
+            h = nn.layer_norm(lp["norm1"], h + a)
+            h = nn.layer_norm(lp["norm2"], h + nn.ff_block(lp, h))
+
+        # look-ahead conv with halo exchange
+        window = _halo_exchange(h, delay, axis)  # (B, Tl+2d, D)
+        emb = nn.conv1d(params["cnn"], window, padding=[(0, 0)])
+        emb = nn.l2_normalize(emb)
+
+        # decoder: time attention SP'd per slot, speaker attention local
+        pe = nn.sinusoidal_table(cfg.pe_max_len, cfg.n_units)[:n_slots]
+        x = jnp.concatenate(
+            [jnp.broadcast_to(emb[:, :, None, :], (B, Tl, n_slots, cfg.n_units)),
+             jnp.broadcast_to(pe[None, None], (B, Tl, n_slots, cfg.n_units))],
+            axis=-1)
+        x = nn.linear(params["dec"]["convert"], x)
+        for lp in params["dec"]["layers"]:
+            xt = x.swapaxes(1, 2)  # (B, C, Tl, D)
+            a = sp_attn(lp["time_attn"], xt)
+            xt = nn.layer_norm(lp["norm11"], xt + a)
+            x = xt.swapaxes(1, 2)
+            s = nn.mha(lp["spk_attn"], x, x, x, None)
+            x = nn.layer_norm(lp["norm21"], x + s)
+            x = nn.layer_norm(lp["norm22"], x + nn.ff_block(lp, x))
+        attractors = nn.l2_normalize(x)
+        return jnp.einsum("btd,btcd->btc", emb, attractors,
+                          preferred_element_type=jnp.float32)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=P(None, axis, None),
+        out_specs=P(None, axis, None),
+    )(xs)

@@ -33,3 +33,21 @@ def test_sp_retention_parallel_matches_single_device(mesh, rng):
     ref = R.retention_parallel(p, x, cfg)
     got = sp.sp_retention_parallel(p, x, cfg, mesh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_fs_forward_sp_matches_single_device(mesh, rng):
+    """FULL sequence-parallel FS-EEND forward (attention all-gathers +
+    conv halo exchange) == single-device fs_forward."""
+    from fseend_tpu.models import fs_eend
+
+    cfg = fs_eend.FSEENDConfig(
+        in_size=23, n_units=32, n_heads=4, enc_n_layers=2, dec_n_layers=1,
+        enc_dim_feedforward=64, dec_dim_feedforward=64, dropout=0.0,
+        conv_delay=3, max_nspks=4)
+    params, state = fs_eend.init_fs_eend(jax.random.PRNGKey(0), cfg)
+    B, T = 2, 64
+    xs = jnp.asarray(rng.standard_normal((B, T, cfg.in_size)), jnp.float32)
+    ref = fs_eend.fs_forward(params, state, cfg, xs, jnp.full((B,), T), 4)
+    got = sp.fs_forward_sp(params, state, cfg, xs, mesh, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref["logits"]),
+                               atol=1e-4)
