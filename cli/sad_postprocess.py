@@ -41,13 +41,19 @@ def main():
         use_last_samples=data.get("use_last_samples", True),
         n_speakers=data.get("num_speakers"))
     os.makedirs(args.out_dir, exist_ok=True)
+    # oracle labels per recording (chunk order == dataset order)
+    rec_labels: dict[str, list] = {}
     for i in range(len(ds)):
         ref, rec = ds.full_labels(i)
+        rec_labels.setdefault(rec, []).append(np.asarray(ref)[:: data["subsampling"]])
+    for rec, parts in rec_labels.items():
         path = os.path.join(args.hyp_dir, rec + ".h5")
         if not os.path.exists(path):
             continue
         hyp = load_h5_probs(path)
-        speech = np.asarray(ref)[:: data["subsampling"]].max(axis=1)[: len(hyp)]
+        speech = np.concatenate(parts, axis=0).max(axis=1)[: len(hyp)]
+        if len(speech) < len(hyp):
+            speech = np.pad(speech, (0, len(hyp) - len(speech)))
         out = oracle_sad_rescore(hyp, speech, threshold=args.threshold)
         save_h5_probs(os.path.join(args.out_dir, rec + ".h5"), out)
         print(rec)
