@@ -57,6 +57,9 @@ class LSEENDConfig:
     pe_max_len: int = 5000
     half_step_residual: bool = True
     use_pallas: bool = False   # fused TPU kernel for chunkwise retention
+    use_fused_ffn: bool = False  # Pallas fused FFN in serving paths (opt-in;
+                                 # XLA matches it on default shapes — see
+                                 # kernels/ffn_pallas.py)
     remat: bool = False        # jax.checkpoint each conformer block (trade
                                # FLOPs for memory on hour-long sequences)
 
@@ -508,7 +511,7 @@ def _conv_module_block(p: Params, bn_state, x: jnp.ndarray, cache: jnp.ndarray,
 
 def _enc_block_blockstream(p: Params, bn_state, x: jnp.ndarray, st: Params,
                            cfg: LSEENDConfig, rc: R.RetentionConfig):
-    fused = cfg.use_pallas
+    fused = cfg.use_fused_ffn
     x = x + cfg.ff_factor * _ff(p["ff1"], x, fused=fused)
     h = nn.layer_norm(p["ret_norm"], x)
     h, ret_state = R.retention_chunkwise_stateful(p["ret"], h, st["ret"], rc)
@@ -569,7 +572,7 @@ def ls_blockstream_step(params: Params, state: Params, cfg: LSEENDConfig,
         x = xt.reshape(B, n_slots, K, cfg.n_units).swapaxes(1, 2)
         s = nn.mha(lp["spk_attn"], x, x, x, None)
         x = nn.layer_norm(lp["norm21"], x + s)
-        if cfg.use_pallas:
+        if cfg.use_fused_ffn:
             from fseend_tpu.kernels.ffn_pallas import fused_ffn
 
             ff = fused_ffn(lp, x, "relu")
