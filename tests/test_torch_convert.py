@@ -75,3 +75,28 @@ def test_average_state_dicts():
     sd2 = {"a": np.full((2, 2), 3.0, np.float32)}
     avg = TC.average_state_dicts([sd1, sd2])
     np.testing.assert_allclose(avg["a"], 2.0)
+
+
+def test_load_torch_ckpt_quirks(tmp_path):
+    """load_torch_ckpt handles {'state_dict': ...} wrapping, the Lightning
+    'model.' prefix and the legacy decoder key remap (dia_pred.py:44-50,
+    LS streaming_infer_dia.py:124-130) — exercised on a real torch file."""
+    import torch
+
+    g, sd = _load("fs_model_ref.npz")
+    wrapped = {"state_dict": {f"model.{k}": torch.from_numpy(v.copy())
+                              for k, v in sd.items()}}
+    path = tmp_path / "ref.ckpt"
+    torch.save(wrapped, path)
+    loaded = TC.load_torch_ckpt(str(path))
+    # prefix stripped, legacy remap applied
+    assert not any(k.startswith("model.") for k in loaded)
+    assert not any("attractor_decoder" in k for k in loaded)
+    assert any(k.startswith("dec.layers.0.") for k in loaded)
+    cfg = FS.FSEENDConfig(in_size=23, n_units=32, n_heads=4, enc_n_layers=2,
+                          dec_n_layers=2, enc_dim_feedforward=2048,
+                          dec_dim_feedforward=64, conv_delay=9, max_nspks=4)
+    params, state = TC.fs_from_state_dict(loaded, cfg)
+    out = FS.fs_test(params, state, cfg, jnp.asarray(g["x"]),
+                     jnp.array([16, 16]), max_nspks=4)
+    np.testing.assert_allclose(np.asarray(out["logits"]), g["logits"], atol=2e-4)
