@@ -154,7 +154,7 @@ def decode(params: Params, cfg: FSEENDConfig, emb: jnp.ndarray, n_slots: int, *,
            train: bool = False, rngs=None) -> jnp.ndarray:
     """emb: (B, T, D) -> attractors (B, T, n_slots, D) (pre-L2norm)."""
     B, T, D = emb.shape
-    pe = nn.sinusoidal_table(cfg.pe_max_len, cfg.n_units)[:n_slots]  # (C, D)
+    pe = nn.sinusoidal_table(cfg.pe_max_len, cfg.n_units)[:n_slots].astype(emb.dtype)  # (C, D)
     x = jnp.concatenate(
         [jnp.broadcast_to(emb[:, :, None, :], (B, T, n_slots, D)),
          jnp.broadcast_to(pe[None, None], (B, T, n_slots, D))], axis=-1)
@@ -274,7 +274,7 @@ def fs_stream_step(params: Params, state: Params, cfg: FSEENDConfig, bn_state,
     emb = nn.l2_normalize(y)
     # --- decoder (runs on valid frames only; cache writes are gated) ---
     u = state["emitted"]
-    pe = nn.sinusoidal_table(cfg.pe_max_len, cfg.n_units)[:n_slots]  # (C, D)
+    pe = nn.sinusoidal_table(cfg.pe_max_len, cfg.n_units)[:n_slots].astype(emb.dtype)  # (C, D)
     x = jnp.concatenate(
         [jnp.broadcast_to(emb[:, None, :], (B, n_slots, cfg.n_units)),
          jnp.broadcast_to(pe[None], (B, n_slots, cfg.n_units))], axis=-1)
@@ -397,7 +397,7 @@ def fs_blockstream_step(params: Params, state: Params, cfg: FSEENDConfig,
     # --- decoder block (time axis aligned from stream frame 0) ---
     u = state["emitted"]
     first = state["m"] == 0
-    pe = nn.sinusoidal_table(cfg.pe_max_len, cfg.n_units)[:n_slots]
+    pe = nn.sinusoidal_table(cfg.pe_max_len, cfg.n_units)[:n_slots].astype(emb.dtype)
     x = jnp.concatenate(
         [jnp.broadcast_to(emb[:, :, None, :], (B, K, n_slots, cfg.n_units)),
          jnp.broadcast_to(pe[None, None], (B, K, n_slots, cfg.n_units))], axis=-1)

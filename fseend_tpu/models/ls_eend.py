@@ -266,7 +266,7 @@ def fusion_layer(p: Params, x: jnp.ndarray, cfg: LSEENDConfig, *, rng=None,
 def decode(params: Params, cfg: LSEENDConfig, emb: jnp.ndarray, n_slots: int, *,
            train=False, rngs=None, time_mode: str = "chunkwise") -> jnp.ndarray:
     B, T, D = emb.shape
-    pe = nn.sinusoidal_table(cfg.pe_max_len, cfg.n_units)[:n_slots]
+    pe = nn.sinusoidal_table(cfg.pe_max_len, cfg.n_units)[:n_slots].astype(emb.dtype)
     x = jnp.concatenate(
         [jnp.broadcast_to(emb[:, :, None, :], (B, T, n_slots, D)),
          jnp.broadcast_to(pe[None, None], (B, T, n_slots, D))], axis=-1)
@@ -401,7 +401,7 @@ def ls_stream_step(params: Params, state: Params, cfg: LSEENDConfig, model_state
     valid = t >= cfg.conv_delay
     emb = nn.l2_normalize(y)
     # --- retention attractor decoder, one frame ---
-    pe = nn.sinusoidal_table(cfg.pe_max_len, cfg.n_units)[:n_slots]
+    pe = nn.sinusoidal_table(cfg.pe_max_len, cfg.n_units)[:n_slots].astype(emb.dtype)
     x = jnp.concatenate(
         [jnp.broadcast_to(emb[:, None, :], (B, n_slots, cfg.n_units)),
          jnp.broadcast_to(pe[None], (B, n_slots, cfg.n_units))], axis=-1)
@@ -555,7 +555,7 @@ def ls_blockstream_step(params: Params, state: Params, cfg: LSEENDConfig,
     emb = nn.conv1d(params["cnn"], window, padding=[(0, 0)])  # (B, K, D)
     emb = nn.l2_normalize(emb)
     # --- decoder block (time axis aligned from frame 0 of the stream) ---
-    pe = nn.sinusoidal_table(cfg.pe_max_len, cfg.n_units)[:n_slots]
+    pe = nn.sinusoidal_table(cfg.pe_max_len, cfg.n_units)[:n_slots].astype(emb.dtype)
     x = jnp.concatenate(
         [jnp.broadcast_to(emb[:, :, None, :], (B, K, n_slots, cfg.n_units)),
          jnp.broadcast_to(pe[None, None], (B, K, n_slots, cfg.n_units))], axis=-1)
