@@ -8,6 +8,10 @@ Must be set before jax is imported anywhere in the test process.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# tests compile LOCALLY: the environment's remote-compile relay is slow and
+# its CPU codegen targets different machine features (rounding differences /
+# SIGILL warnings). Must be unset before jax initializes a backend.
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

