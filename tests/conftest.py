@@ -28,6 +28,16 @@ jax.config.update("jax_default_matmul_precision", "highest")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# When the interpreter's sitecustomize pre-initialized the backend (plain
+# environment runs), the 8-device flag above arrives too late and only one
+# CPU device exists: multi-chip tests then SKIP (the driver validates the
+# multi-chip path separately via __graft_entry__.dryrun_multichip, which it
+# launches with the device-count flag set at process start).
+needs_mesh = pytest.mark.skipif(
+    jax.device_count() < 8,
+    reason="needs 8 virtual devices (backend was pre-initialized; run with "
+           "PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu)")
+
 
 @pytest.fixture
 def rng():

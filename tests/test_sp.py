@@ -13,7 +13,8 @@ from fseend_tpu.parallel import sp
 
 @pytest.fixture(scope="module")
 def mesh():
-    assert jax.device_count() >= 8
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices (see tests/conftest.needs_mesh)")
     return pmesh.make_mesh(n_data=8, n_model=1)
 
 
