@@ -6,8 +6,47 @@ Must be set before jax is imported anywhere in the test process.
 """
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The container env pins JAX_PLATFORMS=axon and its sitecustomize initializes
+# the TPU backend at interpreter start — before this file can run — so an
+# in-process override is impossible.  If we find ourselves on a non-CPU
+# backend (or with a single device), RE-EXEC pytest once with a clean CPU
+# test environment: no relay dial, local compiles, 8 virtual devices.
+if os.environ.get("_FSEEND_TESTS_REEXEC") != "1":
+    try:
+        import jax as _jax
+
+        _bad = _jax.default_backend() != "cpu" or _jax.device_count() < 8
+    except Exception:
+        _bad = True
+    if _bad:
+        env = dict(os.environ)
+        env["_FSEEND_TESTS_REEXEC"] = "1"
+        env["PALLAS_AXON_POOL_IPS"] = ""   # skip the TPU-relay registration
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = env.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            env["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
+        # pytest's global capture has already redirected fds 1/2 to its own
+        # temp files (which die with this process image); restore the real
+        # output by borrowing the parent process's stdout/stderr.
+        try:
+            ppid = os.getppid()
+            for fd in (1, 2):
+                real = os.open(f"/proc/{ppid}/fd/{fd}", os.O_WRONLY)
+                os.dup2(real, fd)
+                os.close(real)
+        except OSError:
+            pass
+        sys.stderr.write("[conftest] backend pre-initialized as non-cpu/"
+                         "single-device; re-exec'ing tests on a clean "
+                         "8-device CPU env\n")
+        os.execve(sys.executable,
+                  [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
+
+os.environ["JAX_PLATFORMS"] = "cpu"
 # tests compile LOCALLY: the environment's remote-compile relay is slow and
 # its CPU codegen targets different machine features (rounding differences /
 # SIGILL warnings). Must be unset before jax initializes a backend.
