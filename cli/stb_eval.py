@@ -59,7 +59,8 @@ def main():
         n_speakers=data.get("num_speakers"))
     stb = FlexSTB(params=params, cfg=cfg, n_speakers=data["max_speakers"],
                   buf_size=data.get("buffer_size", 1000),
-                  block_size=data.get("block_size", 100))
+                  block_size=data.get("block_size", 100),
+                  buffer_weights=data.get("buffer_weights", "v1"))
     os.makedirs(args.out_dir, exist_ok=True)
     # per-recording streaming (chunk order == dataset order)
     per_rec: dict[str, list] = {}

@@ -189,6 +189,26 @@ def main():
         label_delay=data.get("label_delay", 0),
         n_speakers=data.get("num_speakers"))
 
+    # ---- device mesh (the reference's `dist_strategy: ddp`,
+    # train_dia.py:145-156, plus an optional tensor-parallel axis) ----
+    mesh = None
+    mesh_cfg = tr.get("mesh")
+    if mesh_cfg or tr.get("dist_strategy") in ("ddp", "dp"):
+        from fseend_tpu.parallel import mesh as pmesh
+
+        n_dev = len(jax.devices())
+        if mesh_cfg:
+            n_model = int(mesh_cfg.get("model", 1))
+            n_data = int(mesh_cfg.get("data", 0)) or n_dev // n_model
+        else:
+            n_data, n_model = n_dev, 1
+        if n_data * n_model > 1:
+            mesh = pmesh.make_mesh(n_data=n_data, n_model=n_model)
+            print(f"mesh: {n_data} data x {n_model} model "
+                  f"({n_dev} devices visible)")
+        else:
+            print("dist requested but only 1 device visible; single-chip run")
+
     model_cfg, init_fn, task = build_model(configs)
     tx = optim.build_optimizer(
         tr.get("opt", "noam"), lr=tr.get("lr", 1.0),
@@ -203,29 +223,38 @@ def main():
     dump_config(configs, logger.dir / "config.yaml")
 
     debug = configs.get("debug") or {}
-    state, ckpt_dir = loop.run_training(
-        task=task, model_cfg=model_cfg, init_fn=init_fn,
-        train_dataset=train_set, val_dataset=val_set, tx=tx, logger=logger,
-        batch_size=tr["batch_size"], chunk_size=data["chunk_size"],
-        max_speakers=data["max_speakers"], input_dim=feat.input_dim,
-        max_epochs=args.max_epochs or tr["max_epochs"], seed=tr.get("seed", 777),
-        early_stop_patience=tr.get("early_stop_epoch"),
-        val_interval=tr.get("val_interval", 1),
-        init_ckpt=tr.get("init_ckpt"), resume_from=args.checkpoint_resume,
-        on_the_fly=on_the_fly,
-        log_every=debug.get("log_every_n_steps", 100),
-        limit_train_batches=debug.get("limit_train_batches"),
-        limit_val_batches=debug.get("limit_val_batches"))
+    import contextlib
 
-    # post-training checkpoint averaging (train_dia.py:166-184)
+    mesh_ctx = jax.set_mesh(mesh) if mesh is not None else contextlib.nullcontext()
+    with mesh_ctx:
+        state, ckpt_dir = loop.run_training(
+            task=task, model_cfg=model_cfg, init_fn=init_fn,
+            train_dataset=train_set, val_dataset=val_set, tx=tx, logger=logger,
+            batch_size=tr["batch_size"], chunk_size=data["chunk_size"],
+            max_speakers=data["max_speakers"], input_dim=feat.input_dim,
+            max_epochs=args.max_epochs or tr["max_epochs"], seed=tr.get("seed", 777),
+            early_stop_patience=tr.get("early_stop_epoch"),
+            val_interval=tr.get("val_interval", 1),
+            init_ckpt=tr.get("init_ckpt"), resume_from=args.checkpoint_resume,
+            on_the_fly=on_the_fly, mesh=mesh,
+            log_every=debug.get("log_every_n_steps", 100),
+            limit_train_batches=debug.get("limit_train_batches"),
+            limit_val_batches=debug.get("limit_val_batches"))
+
+    # post-training checkpoint averaging (train_dia.py:166-184); BN running
+    # stats ride along from the last epoch so avg_model.npz is standalone
     try:
-        avg, paths = loop.average_epoch_range(
+        avg, avg_mstate, paths = loop.average_epoch_range(
             ckpt_dir, jax.tree.map(np.asarray, state.params),
-            configs["log"].get("start_epoch"), configs["log"].get("end_epoch"))
+            configs["log"].get("start_epoch"), configs["log"].get("end_epoch"),
+            model_state_template=jax.tree.map(np.asarray, state.model_state))
         from fseend_tpu.utils import checkpoint as ckpt_lib
 
         out = configs["log"].get("save_avg_path") or str(ckpt_dir / "avg_model.npz")
-        ckpt_lib.save_pytree(out, {"params": avg})
+        tree = {"params": avg}
+        if avg_mstate is not None:
+            tree["model_state"] = avg_mstate
+        ckpt_lib.save_pytree(out, tree)
         print(f"averaged {len(paths)} checkpoints -> {out}")
     except FileNotFoundError:
         pass

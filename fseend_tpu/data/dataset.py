@@ -164,9 +164,10 @@ class PredictDataset:
 
     def __init__(self, wav_dir: str, feat: FeatureConfig):
         self.feat = feat
-        self.wavs = sorted(
-            glob.glob(os.path.join(wav_dir, "*.wav"))
-            + glob.glob(os.path.join(wav_dir, "*.flac")))
+        # wav only: read_wav decodes via the stdlib wave module (no flac
+        # decoder in scope); compressed formats come in through piped
+        # wav.scp entries instead (kaldi.py)
+        self.wavs = sorted(glob.glob(os.path.join(wav_dir, "*.wav")))
 
     def __len__(self):
         return len(self.wavs)

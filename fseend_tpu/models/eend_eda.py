@@ -58,19 +58,28 @@ def lstm_cell(p: Params, x, h, c):
     return h, c
 
 
-def lstm_scan(p: Params, xs, h0=None, c0=None):
-    """xs: (B, T, D) -> (outputs (B, T, H), (h_T, c_T))."""
+def lstm_scan(p: Params, xs, h0=None, c0=None, lens=None):
+    """xs: (B, T, D) -> (outputs (B, T, H), (h_T, c_T)).
+
+    With `lens` (B,), state updates freeze at t >= len: (h_T, c_T) equal the
+    state after the last VALID frame — the static-shape equivalent of
+    running each sequence to its true length (torch pack_padded_sequence)."""
     B, T, _ = xs.shape
     H = p["w_hh"].shape[0]
     h = jnp.zeros((B, H), xs.dtype) if h0 is None else h0
     c = jnp.zeros((B, H), xs.dtype) if c0 is None else c0
 
-    def step(carry, x):
-        h, c = carry
-        h, c = lstm_cell(p, x, h, c)
-        return (h, c), h
+    def step(carry, x_t):
+        h, c, t = carry
+        hn, cn = lstm_cell(p, x_t, h, c)
+        if lens is not None:
+            valid = (t < lens)[:, None]
+            hn = jnp.where(valid, hn, h)
+            cn = jnp.where(valid, cn, c)
+        return (hn, cn, t + 1), hn
 
-    (h, c), ys = jax.lax.scan(step, (h, c), xs.swapaxes(0, 1))
+    (h, c, _), ys = jax.lax.scan(step, (h, c, jnp.zeros((), jnp.int32)),
+                                 xs.swapaxes(0, 1))
     return ys.swapaxes(0, 1), (h, c)
 
 
@@ -101,23 +110,34 @@ def init_eend_eda(key, cfg: EDAConfig):
 
 
 def encode(params: Params, cfg: EDAConfig, xs: jnp.ndarray, *, train=False,
-           rngs=None) -> jnp.ndarray:
-    """Unmasked (offline) transformer encoder (offl...py:169-193; no BN)."""
+           rngs=None, lens=None) -> jnp.ndarray:
+    """Unmasked (offline) transformer encoder (offl...py:169-193; no BN).
+
+    With `lens` (B,), frames at t >= len are masked out of every attention's
+    KEY set, so valid frames are scored exactly as if the pad were absent —
+    lets one fixed-shape compiled program serve any true length."""
     h = nn.layer_norm(params["enc"]["norm"], nn.linear(params["enc"]["proj"], xs))
+    mask = None
+    if lens is not None:
+        T = xs.shape[1]
+        valid = jnp.arange(T)[None, :] < lens[:, None]          # (B, Tk)
+        mask = jnp.where(valid, 0.0, nn.NEG_INF)[:, None, None, :]
     rs = (jax.random.split(rngs, cfg.n_layers) if rngs is not None
           else [None] * cfg.n_layers)
     for i, lp in enumerate(params["enc"]["layers"]):
-        h = nn.transformer_layer(lp, h, None, rng=rs[i], rate=cfg.dropout,
+        h = nn.transformer_layer(lp, h, mask, rng=rs[i], rate=cfg.dropout,
                                  train=train)
     return h
 
 
-def eda_attractors(params: Params, emb: jnp.ndarray, n_attractors: int):
+def eda_attractors(params: Params, emb: jnp.ndarray, n_attractors: int,
+                   lens=None):
     """LSTM encoder over emb -> (h, c); LSTM decoder unrolled from zero
     inputs emits attractors (offl...py:87-92). Returns
-    (attractors (B, n, D), exist_logits (B, n))."""
+    (attractors (B, n, D), exist_logits (B, n)). `lens` stops the encoder
+    state at each sequence's true length."""
     p = params["eda"]
-    _, (h, c) = lstm_scan(p["encoder"], emb)
+    _, (h, c) = lstm_scan(p["encoder"], emb, lens=lens)
     B, D = h.shape
     zeros = jnp.zeros((B, n_attractors, D), emb.dtype)
     attractors, _ = lstm_scan(p["decoder"], zeros, h, c)
@@ -139,17 +159,22 @@ def eda_forward(params: Params, cfg: EDAConfig, xs: jnp.ndarray,
 
 
 def eda_test(params: Params, cfg: EDAConfig, xs: jnp.ndarray, *,
-             shuffle_rng=None, n_attractors: int | None = None):
+             shuffle_rng=None, n_attractors: int | None = None, lens=None):
     """Inference: time-shuffled emb feeds the EDA (offl...py:62-65);
-    caller thresholds exist probs to pick active attractors."""
-    emb = encode(params, cfg, xs)
+    caller thresholds exist probs to pick active attractors. `lens` (B,)
+    masks pad frames out of attention and the attractor LSTM so a
+    fixed-shape program scores true-length sequences exactly (the FLEX-STB
+    serving path); logits at t >= len are garbage — slice them off."""
+    assert not (shuffle_rng is not None and lens is not None), \
+        "time-shuffle would scatter pad frames into the valid range"
+    emb = encode(params, cfg, xs, lens=lens)
     if shuffle_rng is not None:
         order = jax.random.permutation(shuffle_rng, emb.shape[1])
         emb_in = emb[:, order]
     else:
         emb_in = emb
     n = n_attractors if n_attractors is not None else cfg.max_attractors
-    attractors, exist = eda_attractors(params, emb_in, n)
+    attractors, exist = eda_attractors(params, emb_in, n, lens=lens)
     logits = jnp.einsum("btd,bcd->btc", emb, attractors,
                         preferred_element_type=jnp.float32)
     return {"logits": logits, "emb": emb, "attractors": attractors,

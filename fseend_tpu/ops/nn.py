@@ -186,14 +186,19 @@ def mha_project_qkv(p: Params, q_in, k_in, v_in):
     return (_split_heads(q, n_heads), _split_heads(k, n_heads), _split_heads(v, n_heads))
 
 
-def mha_core(q, k, v, mask: jnp.ndarray | None):
-    """softmax(q k^T / sqrt(hd) + mask) v on pre-split heads."""
+def mha_core(q, k, v, mask: jnp.ndarray | None, *, rng=None,
+             dropout_rate: float = 0.0, train: bool = False):
+    """softmax(q k^T / sqrt(hd) + mask) v on pre-split heads. Train-mode
+    dropout is applied to the softmax WEIGHT matrix (inverted dropout, rows
+    no longer summing to 1) — exactly nn.MultiheadAttention(dropout=...)
+    used at merge_tfm_encoder.py:207-211."""
     hd = q.shape[-1]
     logits = jnp.einsum("...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32)
     logits = logits / math.sqrt(hd)
     if mask is not None:
         logits = logits + mask
     w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    w = dropout(rng, w, dropout_rate, train)
     return jnp.einsum("...qk,...kd->...qd", w, v)
 
 
@@ -202,10 +207,9 @@ def mha(p: Params, query, key_, value, mask: jnp.ndarray | None = None,
     """torch-compatible MHA. query/key_/value: (..., T, D); mask additive
     (broadcastable to (..., H, Tq, Tk)) with -inf for disallowed."""
     q, k, v = mha_project_qkv(p, query, key_, value)
-    out = mha_core(q, k, v, mask)
+    out = mha_core(q, k, v, mask, rng=rng, dropout_rate=dropout_rate,
+                   train=train)
     out = _merge_heads(out)
-    out = dropout(rng, out, dropout_rate, train)  # torch applies dropout on weights; we
-    # approximate on outputs — identical in eval (reference inference) mode.
     return linear(p["out_proj"], out)
 
 

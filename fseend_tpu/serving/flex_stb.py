@@ -58,14 +58,23 @@ def split_results(labels: np.ndarray, preds: np.ndarray, blk_size: int):
     return out_l, out_p, out_n
 
 
-def update_buffer(x_buf, x_i, y_buf, y_i, buf_size: int, rng: np.random.Generator):
-    """Weighted sampling without replacement of buf_size frames from
-    buffer+block (utils.py:60-87). Returns (x_buf', y_buf')."""
+def update_buffer(x_buf, x_i, y_buf, y_i, buf_size: int, rng: np.random.Generator,
+                  weights: str = "v1"):
+    """Frame selection for the next buffer from buffer+block. weights:
+      "v1"   — KL(p||uniform) sampling without replacement (upd_buf,
+               utils.py:60-87)
+      "v2"   — importance-reweighted KL variant (upd_buf_ver2,
+               utils.py:32-58)
+      "fifo" — keep the most recent buf_size frames (the LS-side
+               upd_buf_FIFO baseline)
+    Returns (x_buf', y_buf')."""
     x_cat = np.concatenate([x_buf, x_i], axis=0)
     y_cat = np.concatenate([y_buf, y_i], axis=0)
     if len(x_cat) <= buf_size:
         return x_cat, y_cat
-    prob = kl_weights(y_cat)
+    if weights == "fifo":
+        return x_cat[-buf_size:], y_cat[-buf_size:]
+    prob = kl_weights_v2(y_cat) if weights == "v2" else kl_weights(y_cat)
     sel = rng.choice(len(x_cat), size=buf_size, replace=False, p=prob)
     sel.sort()
     return x_cat[sel], y_cat[sel]
@@ -98,14 +107,15 @@ class FlexSTB:
     buf_size: int = 1000       # conf/spk_STB.yaml: 100 s buffer
     block_size: int = 100      # 10 s blocks
     seed: int = 777
+    buffer_weights: str = "v1"  # "v1" | "v2" | "fifo" (upd_buf / _ver2 / FIFO)
 
     def __post_init__(self):
         import jax
 
         self.rng = np.random.default_rng(self.seed)
         self._score = jax.jit(
-            lambda xs: eend_eda.eda_test(
-                self.params, self.cfg, xs,
+            lambda xs, lens: eend_eda.eda_test(
+                self.params, self.cfg, xs, lens=lens,
                 n_attractors=self.n_speakers)["logits"])
 
     def run(self, feats: np.ndarray) -> np.ndarray:
@@ -127,15 +137,18 @@ class FlexSTB:
                 y_blk = y_blk[:, perm]
             outs.append(y_blk)
             x_buf, y_buf = update_buffer(x_buf, block, y_buf, y_blk,
-                                         self.buf_size, self.rng)
+                                         self.buf_size, self.rng,
+                                         self.buffer_weights)
         return np.concatenate(outs, axis=0)[:T]
 
     def _pad_score(self, inp: np.ndarray):
         """Pad to the fixed buffer+block shape so only ONE program is
         compiled (XLA static shapes; the reference recompiles nothing but
-        eats dynamic shapes on GPU)."""
+        eats dynamic shapes on GPU). Pad frames are masked out of attention
+        keys and the attractor LSTM via lens, so the result equals scoring
+        the true-length sequence (tfm_STB.py scores unpadded)."""
         cap = self.buf_size + self.block_size
         pad = cap - len(inp)
         x = np.pad(inp, ((0, pad), (0, 0)))
-        logits = self._score(x[None])[0]
+        logits = self._score(x[None], np.asarray([len(inp)], np.int32))[0]
         return logits[: len(inp)]

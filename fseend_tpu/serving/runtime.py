@@ -213,6 +213,9 @@ class BlockStreamingServer:
     def reset_lanes(self, lanes):
         """Reset lanes to fresh-stream state (γ=1 retention state is
         position-independent, so per-lane reset is exact for LS)."""
+        if self.kind != "ls":
+            raise ValueError("per-lane reset is LS-only (FS KV caches are "
+                             "position-dependent); use reset_all()")
         mask = np.zeros((self.n_lanes,), bool)
         mask[np.asarray(lanes)] = True
         m = jnp.asarray(mask)

@@ -79,35 +79,73 @@ def run_training(
     limit_val_batches: int | None = None,
 ):
     """Returns (final TrainState, checkpoint dir)."""
+    if mesh is not None:
+        assert batch_size % mesh.shape["data"] == 0, (
+            f"batch_size {batch_size} not divisible by data axis "
+            f"{mesh.shape['data']}")
     params, mstate = init_fn(jax.random.PRNGKey(seed))
     state = trainer_lib.TrainState.create(params, mstate, tx)
     start_epoch = 0
     if init_ckpt:
-        flatp = ckpt_lib.load_pytree(init_ckpt, params)
-        state = trainer_lib.TrainState.create(flatp, mstate, tx)
+        # Warm start (the reference's init_ckpt finetune chain). Loop-saved
+        # checkpoints wrap leaves under "params/" (+"model_state/" except
+        # avg_model.npz); bare-leaf trees (cli.convert output) also accepted.
+        tpl = {"params": params}
+        if ckpt_lib.has_subtree(init_ckpt, "model_state"):
+            tpl["model_state"] = mstate
+        if ckpt_lib.has_subtree(init_ckpt, "params"):
+            loaded = ckpt_lib.load_pytree(init_ckpt, tpl)
+        else:
+            loaded = {"params": ckpt_lib.load_pytree(init_ckpt, params)}
+        state = trainer_lib.TrainState.create(
+            loaded["params"], loaded.get("model_state", mstate), tx)
     if resume_from:
+        # Full-fidelity resume: params + BN stats + optimizer moments +
+        # step (Noam LR position) — matching Lightning's
+        # resume_from_checkpoint (FS-EEND/train_dia.py:152). opt_state is
+        # absent in pre-round-2 checkpoints; fall back to fresh moments.
         extra = ckpt_lib.load_extra(resume_from)
         tpl = {"params": state.params, "model_state": state.model_state}
+        if ckpt_lib.has_subtree(resume_from, "opt_state"):
+            tpl["opt_state"] = tx.init(state.params)
         loaded = ckpt_lib.load_pytree(resume_from, tpl)
-        state = trainer_lib.TrainState.create(loaded["params"],
-                                              loaded["model_state"], tx)
+        state = trainer_lib.TrainState(
+            params=loaded["params"], model_state=loaded["model_state"],
+            opt_state=loaded.get("opt_state", tx.init(loaded["params"])),
+            step=jnp.asarray(int(extra.get("step", 0)), jnp.int32))
         start_epoch = int(extra.get("epoch", -1)) + 1
 
+    pmesh = None
     if mesh is not None:
+        # Shard the full TrainState over the mesh (the DDP strategy of
+        # FS-EEND/train_dia.py:145-156, plus tensor parallelism):
+        # params by the TP rules, optimizer moments co-sharded with their
+        # params (jit(tx.init) propagates input shardings to zeros_like
+        # outputs), BN stats + step replicated.
         from fseend_tpu.parallel import mesh as pmesh
 
+        sharded_params = pmesh.shard_params(state.params, mesh)
+        fresh_opt = jax.jit(tx.init)(sharded_params)
+        opt_shardings = jax.tree.map(lambda x: x.sharding, fresh_opt)
+        repl = pmesh.replicated(mesh)
         state = trainer_lib.TrainState(
-            params=pmesh.shard_params(state.params, mesh),
+            params=sharded_params,
             model_state=jax.tree.map(
-                lambda x: jax.device_put(x, pmesh.replicated(mesh)),
-                state.model_state),
-            opt_state=state.opt_state, step=state.step)
+                lambda x: jax.device_put(x, repl), state.model_state),
+            opt_state=jax.tree.map(jax.device_put, state.opt_state,
+                                   opt_shardings),
+            step=jax.device_put(state.step, repl))
 
     train_step = trainer_lib.make_train_step(task, model_cfg, tx, donate=True)
     eval_step = trainer_lib.make_eval_step(task, model_cfg)
     rng = jax.random.PRNGKey(seed)
 
-    sampler = ShardedSampler(len(train_dataset), shuffle=True, seed=seed)
+    # Each *host* loads its shard of the global batch (single-controller:
+    # process_count()==1 -> the whole batch); device-level sharding happens
+    # via shard_batch below.
+    sampler = ShardedSampler(len(train_dataset),
+                             num_replicas=jax.process_count(),
+                             rank=jax.process_index(), shuffle=True, seed=seed)
     best = (np.inf, -1)
     for epoch in range(start_epoch, max_epochs):
         sampler.set_epoch(epoch)
@@ -121,7 +159,10 @@ def run_training(
         n_steps = 0
         for batch in Prefetcher(make_iter):
             recs = batch.pop("recs")
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if mesh is not None:
+                batch = pmesh.shard_batch(batch, mesh)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
             state, metrics = train_step(state, batch, rng)
             n_steps += 1
             if n_steps % log_every == 0:
@@ -144,7 +185,14 @@ def run_training(
                                  batch_size, chunk_size, max_speakers, input_dim,
                                  drop_last=False):
                 batch.pop("recs")
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                if mesh is not None:
+                    # val batches can be ragged (drop_last=False) — replicate
+                    # rather than shard so any size compiles
+                    repl = pmesh.replicated(mesh)
+                    batch = {k: jax.device_put(jnp.asarray(v), repl)
+                             for k, v in batch.items()}
+                else:
+                    batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 vms.append(jax.tree.map(np.asarray, eval_step(state, batch)))
                 vcount += 1
                 if limit_val_batches and vcount >= limit_val_batches:
@@ -158,11 +206,13 @@ def run_training(
               + (f" val/DER={val_der:.4f}" if val_der is not None else ""),
               flush=True)
 
-        # ---- checkpoint (every epoch kept, save_top_k=-1 semantics) ----
+        # ---- checkpoint (every epoch kept, save_top_k=-1 semantics;
+        # opt_state included for Lightning-fidelity resume) ----
         ckpt_lib.save_pytree(
             logger.dir / f"ckpt_epoch={epoch}.npz",
             {"params": jax.tree.map(np.asarray, state.params),
-             "model_state": jax.tree.map(np.asarray, state.model_state)},
+             "model_state": jax.tree.map(np.asarray, state.model_state),
+             "opt_state": jax.tree.map(np.asarray, state.opt_state)},
             extra={"epoch": epoch, "step": int(state.step),
                    "val_der": val_der if val_der is not None else np.nan})
         if val_der is not None and val_der < best[0]:
@@ -176,14 +226,21 @@ def run_training(
 
 
 def average_epoch_range(ckpt_dir, params_template, start_epoch=None,
-                        end_epoch=None):
+                        end_epoch=None, model_state_template=None):
     """Post-training uniform average (train_dia.py:166-184); averages the
-    'params' subtree of epoch checkpoints in [start, end]."""
+    'params' subtree of epoch checkpoints in [start, end].
+
+    Returns (avg_params, model_state, paths); model_state comes from the
+    LAST checkpoint (BN running stats — the reference's averaged Lightning
+    state dicts include BN buffers, FS-EEND/utlis/avg_ckpt.py:6-22) and is
+    None when no template is given."""
     paths = ckpt_lib.find_epoch_checkpoints(ckpt_dir, start_epoch, end_epoch)
     if not paths:
         raise FileNotFoundError(f"no epoch checkpoints in {ckpt_dir}")
-    tpl = {"params": params_template}
-    # model_state is taken from the LAST checkpoint (running stats)
-    avg = ckpt_lib.average_checkpoints(paths, tpl)["params"]
-    last = ckpt_lib.load_flat(paths[-1])
-    return avg, paths
+    avg = ckpt_lib.average_checkpoints(paths, {"params": params_template})["params"]
+    mstate = None
+    if (model_state_template is not None
+            and ckpt_lib.has_subtree(paths[-1], "model_state")):
+        mstate = ckpt_lib.load_pytree(
+            paths[-1], {"model_state": model_state_template})["model_state"]
+    return avg, mstate, paths

@@ -17,15 +17,25 @@ import jax
 import numpy as np
 
 
+def _key_str(p) -> str:
+    """One path entry -> string: DictKey(.key) / SequenceKey(.idx) /
+    GetAttrKey(.name — optax NamedTuple states) / FlattenedIndexKey."""
+    if hasattr(p, "key"):
+        return str(p.key)
+    if hasattr(p, "idx"):
+        return str(p.idx)
+    if hasattr(p, "name"):
+        return str(p.name)
+    return str(p)
+
+
+def _path_key(path) -> str:
+    return "/".join(_key_str(p) for p in path)
+
+
 def _flatten(tree):
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
-    out = {}
-    for path, leaf in flat:
-        parts = []
-        for p in path:
-            parts.append(str(p.key) if hasattr(p, "key") else str(p.idx))
-        out["/".join(parts)] = np.asarray(leaf)
-    return out
+    return {_path_key(path): np.asarray(leaf) for path, leaf in flat}
 
 
 def save_pytree(path: str | Path, tree, extra: dict | None = None) -> None:
@@ -48,10 +58,7 @@ def load_pytree(path: str | Path, template):
     flat = load_flat(path)
 
     def fill(p, leaf):
-        parts = []
-        for x in p:
-            parts.append(str(x.key) if hasattr(x, "key") else str(x.idx))
-        key = "/".join(parts)
+        key = _path_key(p)
         if key not in flat:
             raise KeyError(f"checkpoint missing leaf {key}")
         arr = flat[key]
@@ -59,6 +66,13 @@ def load_pytree(path: str | Path, template):
         return arr
 
     return jax.tree_util.tree_map_with_path(fill, template)
+
+
+def has_subtree(path: str | Path, prefix: str) -> bool:
+    """True if the checkpoint stores any leaf under `prefix/` (lets callers
+    restore optional subtrees — model_state, opt_state — only when saved)."""
+    with np.load(path) as z:
+        return any(k.startswith(prefix + "/") for k in z.files)
 
 
 def load_extra(path: str | Path) -> dict:
@@ -72,10 +86,7 @@ def average_checkpoints(paths: list[str | Path], template):
     flats = [load_flat(p) for p in paths]
 
     def avg(p, leaf):
-        parts = []
-        for x in p:
-            parts.append(str(x.key) if hasattr(x, "key") else str(x.idx))
-        key = "/".join(parts)
+        key = _path_key(p)
         stack = np.stack([f[key].astype(np.float64) for f in flats])
         return stack.mean(0).astype(flats[0][key].dtype)
 

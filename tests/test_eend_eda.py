@@ -106,6 +106,38 @@ def test_flex_stb_runs(model, rng):
     assert np.isfinite(out).all() and (out >= 0).all() and (out <= 1).all()
 
 
+def test_padded_scoring_equals_unpadded(model, rng):
+    """The fixed-shape (lens-masked) scorer must equal scoring the true
+    length directly — the round-1 zero-padded scorer polluted real frames'
+    logits through unmasked attention + the attractor LSTM tail (max |dlogit|
+    was ~1.4); tfm_STB.py scores the true-length sequence."""
+    params, _ = model
+    feats = rng.standard_normal((1, 17, CFG.in_size)).astype(np.float32)
+    exact = M.eda_test(params, CFG, jnp.asarray(feats),
+                       n_attractors=2)["logits"]
+    padded = np.pad(feats, ((0, 0), (0, 23), (0, 0)))
+    masked = M.eda_test(params, CFG, jnp.asarray(padded),
+                        n_attractors=2,
+                        lens=jnp.asarray([17]))["logits"][:, :17]
+    np.testing.assert_allclose(np.asarray(masked), np.asarray(exact),
+                               atol=2e-5)
+
+
+def test_flex_stb_buffer_weight_variants(model, rng):
+    from fseend_tpu.serving.flex_stb import FlexSTB
+
+    params, _ = model
+    feats = rng.standard_normal((45, CFG.in_size)).astype(np.float32)
+    outs = {}
+    for w in ("v1", "v2", "fifo"):
+        stb = FlexSTB(params=params, cfg=CFG, n_speakers=2, buf_size=30,
+                      block_size=10, buffer_weights=w)
+        outs[w] = stb.run(feats)
+        assert outs[w].shape == (45, 2) and np.isfinite(outs[w]).all()
+    # first block sees no buffer: identical across variants
+    np.testing.assert_allclose(outs["v1"][:10], outs["fifo"][:10], atol=1e-6)
+
+
 def test_find_best_perm_recovers_shuffle(rng):
     from fseend_tpu.serving.flex_stb import find_best_perm
 

@@ -93,10 +93,15 @@ def test_mini_training_and_inference(kaldi_dir, tmp_path):
     # metrics were logged
     assert (ckpt_dir / "metrics.jsonl").read_text().count("\n") > 0
 
-    # checkpoint averaging
-    avg, paths = loop.average_epoch_range(
-        ckpt_dir, jax.tree.map(np.asarray, state.params), 1, 2)
+    # checkpoint averaging (BN stats from the last ckpt ride along)
+    avg, avg_mstate, paths = loop.average_epoch_range(
+        ckpt_dir, jax.tree.map(np.asarray, state.params), 1, 2,
+        model_state_template=jax.tree.map(np.asarray, state.model_state))
     assert len(paths) == 2
+    assert avg_mstate is not None
+    np.testing.assert_allclose(
+        np.asarray(avg_mstate["bn"]["mean"]),
+        np.asarray(state.model_state["bn"]["mean"]), atol=1e-6)
 
     # inference + rttm + scoring close the loop
     import jax.numpy as jnp

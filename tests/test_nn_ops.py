@@ -35,6 +35,30 @@ def test_mha_matches_torch(rng):
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=2e-5)
 
 
+def test_mha_attention_weight_dropout(rng):
+    """Train-mode dropout hits the softmax WEIGHT matrix (inverted dropout,
+    nn.MultiheadAttention semantics): stochastic, unbiased (mean over draws
+    -> eval output), and eval mode is exactly dropout-free."""
+    D, H, T, B = 16, 4, 6, 2
+    p = nn.mha_init(jax.random.PRNGKey(0), D, H)
+    x = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    ev = nn.mha(p, x, x, x)
+    # eval / rate=0 / no-rng are all identical
+    np.testing.assert_array_equal(
+        np.asarray(nn.mha(p, x, x, x, rng=jax.random.PRNGKey(1),
+                          dropout_rate=0.5, train=False)), np.asarray(ev))
+    one = nn.mha(p, x, x, x, rng=jax.random.PRNGKey(1), dropout_rate=0.5,
+                 train=True)
+    assert np.abs(np.asarray(one) - np.asarray(ev)).max() > 1e-3  # stochastic
+    keys = jax.random.split(jax.random.PRNGKey(2), 4000)
+    outs = jax.vmap(lambda k: nn.mha(p, x, x, x, rng=k, dropout_rate=0.5,
+                                     train=True))(keys)
+    mean = np.asarray(outs).mean(0)
+    # unbiased: E[w/keep * mask] = w, and v-combine + out_proj are affine
+    np.testing.assert_allclose(mean, np.asarray(ev), atol=0.05)
+    assert float(np.asarray(outs).std(0).mean()) > 0.01  # real variance
+
+
 def test_transformer_layer_matches_torch(rng):
     D, H, FF, T, B = 32, 4, 64, 12, 3
     tl = nn.transformer_layer_init(jax.random.PRNGKey(1), D, H, FF)

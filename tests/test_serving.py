@@ -171,3 +171,7 @@ def test_fs_block_streaming_server(rng):
                              jnp.array([T]), 4)
     ref_probs = np.asarray(jax.nn.sigmoid(ref["logits"][..., 1:]))
     np.testing.assert_allclose(probs, ref_probs, atol=1e-5)
+    # per-lane reset is LS-only: FS must refuse with a clear error, not a
+    # KeyError on LS-shaped state keys
+    with pytest.raises(ValueError, match="LS-only"):
+        srv.reset_lanes([0])
