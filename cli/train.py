@@ -120,13 +120,20 @@ def evaluate_folder(configs, folder):
     max_slots = data["max_speakers"] + 2
     h5_dir = os.path.join(folder, "preds_h5")
     os.makedirs(h5_dir, exist_ok=True)
+    # batched publication-protocol eval: one compiled program per batch
+    # shape (the ragged final batch adds at most one more); chunks of one
+    # recording stay index-ordered, so per-rec reassembly is unchanged
+    eval_bs = int(configs.get("training", {}).get("val_batch_size")
+                  or configs.get("training", {}).get("batch_size", 8))
+    jit_test = jax.jit(lambda feats, lens: test_fn(
+        params, mstate, model_cfg, feats, lens, max_slots))
     ms = []
     per_rec: dict[str, list] = {}
-    for batch in batched(ds, range(len(ds)), 1, data["chunk_size"],
+    for batch in batched(ds, range(len(ds)), eval_bs, data["chunk_size"],
                          data["max_speakers"], feat.input_dim, drop_last=False):
         recs = batch.pop("recs")
         b = {k: jnp.asarray(v) for k, v in batch.items()}
-        out = test_fn(params, mstate, model_cfg, b["feats"], b["lens"], max_slots)
+        out = jit_test(b["feats"], b["lens"])
         slot_labels, _ = labels_lib.prepare_labels(b["labels"], b["lens"], b["n_spk"])
         # frame-level DER proxy over real-speaker slots (test_step :186-194)
         stats = losses.diarization_error_counters(
@@ -134,10 +141,10 @@ def evaluate_folder(configs, folder):
             slot_labels[..., 1:1 + data["max_speakers"]], b["lens"],
             jnp.arange(data["max_speakers"])[None] < b["n_spk"][:, None])
         ms.append(jax.tree.map(np.asarray, stats))
-        probs = np.asarray(jax.nn.sigmoid(out["logits"][0, : int(b["lens"][0]), 1:]))
-        # chunks arrive in order per rec; concatenate before writing so a
-        # recording split into several eval chunks yields ONE h5
-        per_rec.setdefault(recs[0], []).append(probs)
+        probs_all = np.asarray(jax.nn.sigmoid(out["logits"][..., 1:]))
+        lens_np = np.asarray(b["lens"])
+        for i, rec in enumerate(recs):
+            per_rec.setdefault(rec, []).append(probs_all[i, : lens_np[i]])
     for rec, parts in per_rec.items():
         save_h5_probs(os.path.join(h5_dir, rec + ".h5"),
                       np.concatenate(parts, axis=0))

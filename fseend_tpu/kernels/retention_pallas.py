@@ -35,14 +35,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, kv_state, kv_scale, *, L: int):
+def _kernel(gamma_ref, q_ref, k_ref, v_ref, kv0_ref, s0_ref,
+            o_ref, kvf_ref, sf_ref, kv_state, kv_scale, *, L: int, N: int):
+    """One (batch*head, chunk) grid step. Carried (kv_state, kv_scale) live
+    in VMEM scratch across the sequential minor grid axis; the incoming
+    state refs seed chunk 0 and the final state is exported at chunk N-1.
+    Per-(batch,head) decay γ arrives as a (1,1)-blocked operand; γ=1
+    reduces every decay term to the reference's renormalized cumulative
+    form (retention.py:146-194)."""
     n = pl.program_id(1)
 
     @pl.when(n == 0)
     def _():
-        kv_state[...] = jnp.zeros_like(kv_state)
-        kv_scale[...] = jnp.ones_like(kv_scale)
+        kv_state[...] = kv0_ref[0].astype(jnp.float32)
+        kv_scale[...] = s0_ref[0].astype(jnp.float32)
 
+    g = gamma_ref[0, 0]
     q = q_ref[0, 0]  # (L, dk)
     k = k_ref[0, 0]  # (L, dk)
     v = v_ref[0, 0]  # (L, dv)
@@ -50,17 +58,20 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, kv_state, kv_scale, *, L: int):
     row = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
     tri = col <= row
-    # γ=1 decay mask normalized by sqrt(row sums): mask[i, j<=i] = 1/sqrt(i+1)
-    scale_vec = jnp.sqrt(row[:, :1].astype(jnp.float32) + 1.0)  # (L,1)=sqrt(i+1)
-    mask = jnp.where(tri, 1.0, 0.0) / scale_vec       # (L, L)
+    delta = jnp.where(tri, (row - col).astype(jnp.float32), 0.0)
+    decay = jnp.where(tri, jnp.power(g, delta), 0.0)          # (L, L)
+    scale_vec = jnp.sqrt(decay.sum(axis=-1, keepdims=True))   # (L, 1)
+    mask = decay / scale_vec
 
     qk = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * mask
     inner_scale = jnp.clip(jnp.abs(qk).sum(axis=-1, keepdims=True), 1.0, None)
     inner = jnp.dot(qk / inner_scale, v, preferred_element_type=jnp.float32)
 
-    # cross-chunk read: (q * inner_decay) @ (kv_state / kv_scale)
-    # inner_decay[i] = 1 / (scale_vec[i] / scale_vec[L-1]) = sqrt(L)/sqrt(i+1)
-    inner_decay = math.sqrt(L) / scale_vec            # (L, 1)
+    # cross-chunk read: (q * inner_decay) @ (kv_state / kv_scale) with
+    # inner_decay[i] = γ^(i+1) * scale_vec[L-1] / scale_vec[i]
+    ii = row[:, :1].astype(jnp.float32)                       # (L, 1) = i
+    scale_last = jnp.sqrt(decay[-1:, :].sum(axis=-1, keepdims=True))
+    inner_decay = jnp.power(g, ii + 1.0) * scale_last / scale_vec
     cross_scale = kv_scale[0, 0]
     cross = jnp.dot(q * inner_decay, kv_state[...],
                     preferred_element_type=jnp.float32) / cross_scale
@@ -69,18 +80,27 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, kv_state, kv_scale, *, L: int):
     o_ref[0, 0] = (inner * (inner_scale / all_scale)
                    + cross * (cross_scale / all_scale)).astype(o_ref.dtype)
 
-    # state update: kv += k^T (v * last_mask_row); last row = 1/sqrt(L)
-    kv_c = jnp.dot(k.T, v * (1.0 / math.sqrt(L)),
-                   preferred_element_type=jnp.float32)
-    new_state = kv_state[...] + kv_c  # cross_decay == 1 for γ=1
+    # state update: kv = kv * γ^L + k^T (v * last_mask_row)
+    last_row = (jnp.power(g, (L - 1 - col[:1, :]).astype(jnp.float32))
+                / scale_last)                                  # (1, L)
+    kv_c = jnp.dot(k.T, v * last_row.T, preferred_element_type=jnp.float32)
+    new_state = kv_state[...] * jnp.power(g, float(L)) + kv_c
     kv_state[...] = new_state
     kv_scale[...] = jnp.clip(
         jnp.abs(new_state).sum(axis=0, keepdims=True).max(axis=1, keepdims=True),
         1.0, None)
 
+    @pl.when(n == N - 1)
+    def _():
+        kvf_ref[0] = kv_state[...].astype(kvf_ref.dtype)
+        sf_ref[0] = kv_scale[...].astype(sf_ref.dtype)
+
 
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
-def _forward(q, k, v, chunk: int, interpret: bool = False):
+def _forward_stateful(gammas, q, k, v, kv0, s0, chunk: int,
+                      interpret: bool = False):
+    """(BH,)-per-row γ, q/k (BH, T, dk), v (BH, T, dv), kv0 (BH, dk, dv),
+    s0 (BH, 1, 1) -> (out (BH, T, dv), kv_f, s_f)."""
     BH, T, dk = q.shape
     dv = v.shape[-1]
     N = T // chunk
@@ -89,24 +109,57 @@ def _forward(q, k, v, chunk: int, interpret: bool = False):
     q4 = q.reshape(BH, N, chunk, dk)
     k4 = k.reshape(BH, N, chunk, dk)
     v4 = v.reshape(BH, N, chunk, dv)
+    g2 = gammas.reshape(BH, 1).astype(jnp.float32)
     grid = (BH, N)
-    out = pl.pallas_call(
-        functools.partial(_kernel, L=chunk),
+    out, kv_f, s_f = pl.pallas_call(
+        functools.partial(_kernel, L=chunk, N=N),
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1, 1), lambda b, n: (b, 0)),
             pl.BlockSpec((1, 1, chunk, dk), lambda b, n: (b, n, 0, 0)),
             pl.BlockSpec((1, 1, chunk, dk), lambda b, n: (b, n, 0, 0)),
             pl.BlockSpec((1, 1, chunk, dv), lambda b, n: (b, n, 0, 0)),
+            pl.BlockSpec((1, dk, dv), lambda b, n: (b, 0, 0)),
+            pl.BlockSpec((1, 1, 1), lambda b, n: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, chunk, dv), lambda b, n: (b, n, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((BH, N, chunk, dv), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, 1, chunk, dv), lambda b, n: (b, n, 0, 0)),
+            pl.BlockSpec((1, dk, dv), lambda b, n: (b, 0, 0)),
+            pl.BlockSpec((1, 1, 1), lambda b, n: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, N, chunk, dv), q.dtype),
+            jax.ShapeDtypeStruct((BH, dk, dv), kv0.dtype),
+            jax.ShapeDtypeStruct((BH, 1, 1), s0.dtype),
+        ],
         scratch_shapes=[
             pltpu.VMEM((dk, dv), jnp.float32),
             pltpu.VMEM((1, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(q4, k4, v4)
-    return out.reshape(BH, T, dv)
+    )(g2, q4, k4, v4, kv0, s0)
+    return out.reshape(BH, T, dv), kv_f, s_f
+
+
+def _forward(q, k, v, chunk: int, interpret: bool = False):
+    """γ=1, fresh-state forward (the training hot path)."""
+    BH, _, dk = q.shape
+    dv = v.shape[-1]
+    out, _, _ = _forward_stateful(
+        jnp.ones((BH,), jnp.float32), q, k, v,
+        jnp.zeros((BH, dk, dv), jnp.float32),
+        jnp.ones((BH, 1, 1), jnp.float32), chunk, interpret)
+    return out
+
+
+def chunkwise_retention_stateful(gammas, q, k, v, kv0, s0, chunk: int,
+                                 interpret: bool = False):
+    """Carried-state chunkwise retention with per-row decay γ — the
+    blockwise-recurrent SERVING core (each arriving block = one or more
+    chunks, O(1) state; matches retention.py:146-194 continued from state).
+    Forward-only: serving never differentiates; use `chunkwise_retention`
+    for the training (fresh-state, γ=1) path, which has a custom VJP."""
+    return _forward_stateful(gammas, q, k, v, kv0, s0, chunk, interpret)
 
 
 def _pure_core(q, k, v, chunk: int):

@@ -209,9 +209,28 @@ def retention_chunkwise_stateful(p: Params, x: jnp.ndarray, state: Params | None
         out = chunkwise_retention(
             q.reshape(B * H, T, dk), k.reshape(B * H, T, dk),
             v.reshape(B * H, T, dv), L).reshape(B, H, T, dv)
-        # kernel path does not export state; recompute it is unnecessary for
-        # training (state unused); fall through only when state is requested
+        # the differentiable (custom-VJP) γ=1 training kernel; state unused
         return _finish(p, out, g, cfg), None
+    if cfg.use_pallas:
+        # carried-state and/or γ<1: the forward-only fused serving kernel
+        # (blockwise-recurrent streaming — each call is one or more chunks
+        # continued from `state`)
+        from fseend_tpu.kernels.retention_pallas import (
+            chunkwise_retention_stateful)
+
+        gam = jnp.tile(decay_gammas(cfg), B)               # row bh = b*H + h
+        if state is None:
+            kv0 = jnp.zeros((B * H, dk, dv), jnp.float32)
+            s0 = jnp.ones((B * H, 1, 1), jnp.float32)
+        else:
+            kv0 = state["kv"].reshape(B * H, dk, dv)
+            s0 = state["scale"].reshape(B * H, 1, 1)
+        out, kv_f, s_f = chunkwise_retention_stateful(
+            gam, q.reshape(B * H, T, dk), k.reshape(B * H, T, dk),
+            v.reshape(B * H, T, dv), kv0, s0, L)
+        new_state = {"kv": kv_f.reshape(B, H, dk, dv),
+                     "scale": s_f.reshape(B, H, 1, 1)}
+        return _finish(p, out.reshape(B, H, T, dv), g, cfg), new_state
     gammas = decay_gammas(cfg)
     mask, scale = _decay_mask(L, gammas)           # (H, L, L), (H, L, 1)
     cross_decay = gammas[:, None, None] ** L        # (H, 1, 1)

@@ -162,7 +162,25 @@ def test_evaluate_folder_cli_path(kaldi_dir, tmp_path):
     assert "DER" in agg
     import glob
 
-    assert len(glob.glob(str(folder / "preds_h5" / "*.h5"))) >= 1
+    import h5py
+
+    h5s = sorted(glob.glob(str(folder / "preds_h5" / "*.h5")))
+    assert len(h5s) >= 1
+
+    # batched eval (val_batch_size=3, ragged final batch) must reproduce the
+    # batch=1 h5 outputs and counters exactly
+    ref = {}
+    for f in h5s:
+        with h5py.File(f, "r") as z:
+            ref[f] = np.asarray(z["T_hat"]) if "T_hat" in z else np.asarray(
+                z[list(z.keys())[0]])
+    configs["training"] = {"val_batch_size": 3}
+    agg_b = evaluate_folder(configs, str(folder))
+    for f in h5s:
+        with h5py.File(f, "r") as z:
+            got = np.asarray(z[list(z.keys())[0]])
+        np.testing.assert_allclose(got, ref[f], atol=1e-6)
+    np.testing.assert_allclose(agg_b["DER"], agg["DER"], atol=1e-6)
 
 
 def test_streaming_inference_on_real_features(kaldi_dir):
