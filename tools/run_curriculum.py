@@ -1,0 +1,176 @@
+"""Progressive 1->N-speaker curriculum on synthetic mixtures, end to end.
+
+Reproduces the reference's curriculum protocol (successive runs warm-started
+via init_ckpt from the previous stage's averaged checkpoint — the
+LS-EEND/conf finetune pattern and FS-EEND/README "training on simulated
+data" chain) with this framework's CLI, all the way through checkpoint
+averaging -> --test_from_folder h5 dump -> collar-scored DER (cli.score),
+for either model family:
+
+  python tools/run_curriculum.py --model fs --work /tmp/curr_fs \
+      --stages 1,2,3,4 --epochs 6
+
+Writes WORK/RESULTS.md with the DER-vs-epoch table per stage (from the run's
+metrics.jsonl) and the final collar DER per stage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def sh(args, **kw):
+    print("+", " ".join(args), flush=True)
+    return subprocess.run(args, check=True, cwd=HERE, text=True,
+                          capture_output=True, **kw)
+
+
+def make_config(path, *, model, tr_dir, cv_dir, max_spk, epochs, init_ckpt,
+                n_units, batch_size, log_dir, name, on_the_fly):
+    lines = [
+        "log:",
+        f"  model_name: {name}",
+        f"  log_dir: {log_dir}/x",
+        "training:",
+        f"  batch_size: {batch_size}",
+        "  lr: 1",
+        "  opt: noam",
+        f"  max_epochs: {epochs}",
+        "  grad_clip: 5",
+        "  grad_accm: 1",
+        "  warm_steps: 150",
+        "  schedule_scale: 1.0",
+        "  seed: 777",
+        f"  init_ckpt: {init_ckpt or ''}",
+        "model:",
+        f"  arch: {'ls_eend' if model == 'ls' else 'fs_eend'}",
+        "  params:",
+        f"    n_units: {n_units}",
+        "    n_heads: 4",
+        "    enc_n_layers: 2",
+        "    dec_n_layers: 1",
+        f"    {'dec_dim_feedforward: 256' if model == 'ls' else 'enc_dim_feedforward: 256'}",
+    ]
+    if model == "fs":
+        lines.append("    dec_dim_feedforward: 256")
+    else:
+        lines += ["    conv_kernel_size: 16", "    recurrent_chunk_size: 100",
+                  "    feed_forward_expansion_factor: 2"]
+    lines += [
+        "    dropout: 0.1",
+        "    conv_delay: 9",
+        "data:",
+        "  num_speakers:",
+        f"  max_speakers: {max_spk}",
+        "  context_recp: 7",
+        "  label_delay: 0",
+        "  feat_type: logmel23_mn",
+        "  chunk_size: 100",
+        "  subsampling: 10",
+        "  use_last_samples: True",
+    ]
+    if on_the_fly:
+        lines.append("  chunk_step: 50")
+    lines += [
+        "  feat: {sample_rate: 8000, win_length: 200, n_fft: 1024, "
+        "hop_length: 80, n_mels: 23}",
+        f"  train_data_dir: {tr_dir}",
+        f"  val_data_dir: {cv_dir}",
+        "task:",
+        "  label_mode: fixed",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def epoch_der_table(version_dir):
+    rows = []
+    with open(os.path.join(version_dir, "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "val/DER" in rec:
+                rows.append((rec["step"], rec["val/DER"]))
+    return rows
+
+
+def latest_version(log_root, name):
+    base = os.path.join(log_root, name)
+    vs = sorted(int(v.split("_")[1]) for v in os.listdir(base)
+                if v.startswith("version_"))
+    return os.path.join(base, f"version_{vs[-1]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", choices=["fs", "ls"], default="fs")
+    ap.add_argument("--work", required=True)
+    ap.add_argument("--stages", default="1,2,3,4")
+    ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--n_recs", type=int, default=24)
+    ap.add_argument("--dur", type=float, default=60.0)
+    ap.add_argument("--n_units", type=int, default=64)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--max_spk", type=int, default=4)
+    args = ap.parse_args()
+
+    os.makedirs(args.work, exist_ok=True)
+    stages = [int(s) for s in args.stages.split(",")]
+    py = sys.executable
+
+    # 1) data: one (train, val) pair per stage
+    for ns in stages:
+        for split, n, seed in (("tr", args.n_recs, 100 + ns), ("cv", 6, 200 + ns)):
+            d = os.path.join(args.work, f"{split}_ns{ns}")
+            if not os.path.exists(os.path.join(d, "wav.scp")):
+                sh([py, "tools/make_simu_data.py", "--out", d,
+                    "--n_spk", str(ns), "--n_recs", str(n),
+                    "--dur", str(args.dur), "--seed", str(seed)])
+
+    results = []
+    init_ckpt = None
+    for ns in stages:
+        name = f"curr_{args.model}_ns{ns}"
+        cfg_path = os.path.join(args.work, f"{name}.yaml")
+        make_config(cfg_path, model=args.model,
+                    tr_dir=os.path.join(args.work, f"tr_ns{ns}"),
+                    cv_dir=os.path.join(args.work, f"cv_ns{ns}"),
+                    max_spk=args.max_spk, epochs=args.epochs,
+                    init_ckpt=init_ckpt, n_units=args.n_units,
+                    batch_size=args.batch_size, log_dir=args.work, name=name,
+                    on_the_fly=(args.model == "ls"))
+        sh([py, "-m", "cli.train", "--configs", cfg_path])
+        vdir = latest_version(args.work, name)
+        init_ckpt = os.path.join(vdir, "avg_model.npz")
+
+        # averaged-ckpt eval -> h5 -> collar DER
+        sh([py, "-m", "cli.train", "--configs", cfg_path,
+            "--test_from_folder", vdir])
+        out = sh([py, "-m", "cli.score", "--configs", cfg_path,
+                  "--hyp_dir", os.path.join(vdir, "preds_h5")])
+        m = re.search(r"mean der: ([\d.]+)", out.stdout)
+        collar_der = float(m.group(1)) if m else float("nan")
+        results.append((ns, vdir, epoch_der_table(vdir), collar_der))
+        print(f"stage ns{ns}: collar DER {collar_der:.4f}", flush=True)
+
+    with open(os.path.join(args.work, "RESULTS.md"), "w") as f:
+        f.write(f"# {args.model.upper()}-EEND progressive curriculum "
+                f"(synthetic mixtures)\n\n")
+        for ns, vdir, table, collar_der in results:
+            f.write(f"## stage {ns}-spk ({vdir})\n\n")
+            f.write("| epoch | val frame-DER |\n|---|---|\n")
+            for e, (step, der) in enumerate(table):
+                f.write(f"| {e} | {der:.4f} |\n")
+            f.write(f"\ncollar-0.25s DER of averaged checkpoint: "
+                    f"**{collar_der:.4f}**\n\n")
+    print(f"results -> {os.path.join(args.work, 'RESULTS.md')}")
+
+
+if __name__ == "__main__":
+    main()
