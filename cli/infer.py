@@ -57,6 +57,10 @@ def main():
     parser.add_argument("--out", default=None)
     parser.add_argument("--threshold", type=float, default=0.5)
     parser.add_argument("--median", type=int, default=11)
+    parser.add_argument("--device_frontend", action="store_true",
+                        help="featurize on the accelerator (ops/features_tpu)"
+                             " instead of the host DSP — removes the host "
+                             "CPU from the pipeline for --wav inference")
     args = parser.parse_args()
 
     import jax
@@ -88,11 +92,26 @@ def main():
     if not args.wav:
         parser.error("need --wav or --wav_dir")
 
-    feats = extract_fbank(
-        args.wav, context_size=data["context_recp"],
-        frame_size=data["feat"]["win_length"],
-        frame_shift=data["feat"]["hop_length"],
-        input_transform=data["feat_type"], subsampling=data["subsampling"])
+    if args.device_frontend:
+        from fseend_tpu.ops.features import read_wav
+        from fseend_tpu.ops.features_tpu import logmel_frontend
+
+        audio, _sr = read_wav(args.wav)
+        if audio.ndim > 1:
+            audio = audio[:, 0]
+        feats = np.asarray(logmel_frontend(
+            jnp.asarray(audio[None]), frame_size=data["feat"]["win_length"],
+            frame_shift=data["feat"]["hop_length"],
+            context_size=data["context_recp"],
+            subsampling=data["subsampling"],
+            input_transform=data["feat_type"],
+            sr=data["feat"]["sample_rate"])[0])
+    else:
+        feats = extract_fbank(
+            args.wav, context_size=data["context_recp"],
+            frame_size=data["feat"]["win_length"],
+            frame_shift=data["feat"]["hop_length"],
+            input_transform=data["feat_type"], subsampling=data["subsampling"])
     rec = os.path.splitext(os.path.basename(args.wav))[0]
     _run_one(configs, model_cfg, task, params, mstate, feats, rec, args)
 

@@ -174,3 +174,26 @@ def test_enhancement_hook(rng):
     logmel2 = logmel.copy()
     logmel2[30:] += 50
     np.testing.assert_array_equal(enh(logmel2)[:30], out[:30])
+
+
+def test_tpu_frontend_matches_host_pipeline(rng):
+    """On-device logmel_frontend == host stft->transform->splice->subsample
+    for every supported transform, incl. the % hop == 0 last-frame hack."""
+    import jax.numpy as jnp
+
+    from fseend_tpu.ops import features as F
+    from fseend_tpu.ops.features_tpu import logmel_frontend
+
+    for n_samples in (8000, 8000 + 37):  # hop-divisible and not
+        audio = rng.standard_normal((2, n_samples)).astype(np.float32) * 0.1
+        for tf in ("logmel23", "logmel23_mn", "logmel23_mvn",
+                   "logmel23_cummn"):
+            dev = np.asarray(logmel_frontend(
+                jnp.asarray(audio), frame_size=200, frame_shift=80,
+                context_size=3, subsampling=5, input_transform=tf))
+            for b in range(2):
+                Y = F.transform(F.stft(audio[b], 200, 80), tf)
+                host = F.subsample(F.splice(Y, 3), subsampling=5)
+                assert dev[b].shape == host.shape, (tf, n_samples)
+                np.testing.assert_allclose(dev[b], host, atol=2e-4,
+                                           err_msg=f"{tf}@{n_samples}")
