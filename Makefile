@@ -3,7 +3,19 @@
 # CPU test env: skip the per-process TPU-relay dial (see tests/README.md)
 TEST_ENV := PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
 
-.PHONY: test test-fast bench entry lint
+.PHONY: test test-fast bench entry lint curriculum curriculum-ls
+
+# progressive 1->4-speaker curriculum on synthetic mixtures, end to end
+# (train -> init_ckpt chain -> ckpt averaging -> h5 -> collar DER);
+# results land in $(CURR_WORK)/RESULTS.md
+CURR_WORK ?= /tmp/curr_fs
+curriculum:
+	python tools/run_curriculum.py --model fs --work $(CURR_WORK) \
+		--stages 1,2,3,4 --epochs 12
+
+curriculum-ls:
+	python tools/run_curriculum.py --model ls --work $(or $(CURR_WORK_LS),/tmp/curr_ls) \
+		--stages 1,2,3,4 --epochs 12
 
 test:
 	$(TEST_ENV) python -m pytest tests/ -q

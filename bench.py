@@ -207,8 +207,9 @@ def main():
         B = int(os.environ.get("BENCH_TRAIN_B", "16"))
         T = int(os.environ.get("BENCH_TRAIN_T", "500"))
         S = 4
-        task = trainer.TaskConfig(model="ls", label_mode="fixed",
-                                  masked_emb_loss=True)
+        task = trainer.TaskConfig(
+            model="ls", label_mode="fixed", masked_emb_loss=True,
+            compute_dtype=os.environ.get("BENCH_TRAIN_DTYPE", "f32"))
         tx = optim.build_optimizer("noam", d_model=cfg.n_units,
                                    warmup_steps=100_000)
         p32, m32 = ls_eend.init_ls_eend(jax.random.PRNGKey(0), cfg)

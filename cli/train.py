@@ -50,6 +50,7 @@ def build_model(configs):
         init = lambda key: ls_eend.init_ls_eend(key, cfg)
         task = trainer_lib.TaskConfig(
             model="ls", label_mode=label_mode, masked_emb_loss=True,
+            compute_dtype=configs.get("training", {}).get("precision", "f32"),
             label_delay=data.get("label_delay", 0),
             consis_weight=configs.get("task", {}).get(
                 "spk_attractor", {}).get("consis_weight", 1.0))
@@ -72,6 +73,7 @@ def build_model(configs):
         init = lambda key: fs_eend.init_fs_eend(key, cfg)
         task = trainer_lib.TaskConfig(
             model="fs", label_mode=label_mode,
+            compute_dtype=configs.get("training", {}).get("precision", "f32"),
             label_delay=data.get("label_delay", 0),
             consis_weight=configs.get("task", {}).get(
                 "spk_attractor", {}).get("consis_weight", 1.0))

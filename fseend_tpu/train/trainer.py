@@ -61,6 +61,9 @@ class TaskConfig:
     consis_weight: float = 1.0
     masked_emb_loss: bool = False      # LS Σlen² normalization
     use_mask_loss: bool = False        # standard_mask_loss instead of BCE
+    compute_dtype: str = "f32"         # "f32" | "bf16" mixed precision:
+    # bf16 casts params+feats for fwd/bwd (MXU-native), keeps f32 master
+    # params and f32 optimizer moments (grads land f32 through the cast)
 
 
 def _forward(task: TaskConfig, cfg, params, model_state, feats, lens, n_slots,
@@ -72,9 +75,20 @@ def _forward(task: TaskConfig, cfg, params, model_state, feats, lens, n_slots,
                               train=train, rngs=rngs)
 
 
+def _cast_bf16(tree):
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
+
+
 def compute_loss(task: TaskConfig, cfg, params, model_state, batch, rng, *,
                  train: bool):
     """Returns (loss, aux) with aux = (new_model_state, metrics)."""
+    if task.compute_dtype == "bf16":
+        # mixed precision: the cast is linear, so grads flow back to the
+        # f32 master params; losses below accumulate in f32
+        params = _cast_bf16(params)
+        batch = dict(batch, feats=_cast_bf16(batch["feats"]))
     feats, labels, lens, n_spk = (batch["feats"], batch["labels"], batch["lens"],
                                   batch["n_spk"])
     B, T, S = labels.shape
@@ -86,7 +100,7 @@ def compute_loss(task: TaskConfig, cfg, params, model_state, batch, rng, *,
 
     out = _forward(task, cfg, params, model_state, feats, lens, n_slots,
                    train, rng)
-    logits = out["logits"]
+    logits = out["logits"].astype(jnp.float32)  # losses accumulate in f32
 
     if task.label_mode == "fixed":
         tgt = slot_labels
@@ -108,10 +122,11 @@ def compute_loss(task: TaskConfig, cfg, params, model_state, batch, rng, *,
     loss_fn = losses.standard_mask_loss if task.use_mask_loss else losses.standard_bce_loss
     pit_loss = loss_fn(logits, tgt, lens, slot_mask, label_delay=task.label_delay)
 
+    emb = out["emb"].astype(jnp.float32)
     if task.masked_emb_loss:
-        emb_loss = losses.emb_consistency_loss_ls(out["emb"], tgt, lens)
+        emb_loss = losses.emb_consistency_loss_ls(emb, tgt, lens)
     else:
-        emb_loss = losses.emb_consistency_loss(out["emb"], tgt)
+        emb_loss = losses.emb_consistency_loss(emb, tgt)
 
     total = pit_loss + task.consis_weight * emb_loss
     # DER proxy over the real-speaker slots only (columns 1..n_spk per

@@ -67,6 +67,41 @@ def test_hungarian_pit_mode_runs(rng):
     assert np.isfinite(float(metrics["tot_loss"]))
 
 
+def test_bf16_mixed_precision_training(rng):
+    """compute_dtype=bf16: forward/backward in bf16 with f32 master params
+    and f32 moments — loss decreases, params stay f32, and the first-step
+    gradient direction agrees with f32 compute."""
+    params, mstate = fs_eend.init_fs_eend(jax.random.PRNGKey(0), FS_CFG)
+    tx = optim.build_optimizer("adam", lr=1e-3, grad_clip=5.0)
+    batch = make_batch(rng)
+    key = jax.random.PRNGKey(1)
+
+    task16 = trainer.TaskConfig(model="fs", label_mode="fixed",
+                                compute_dtype="bf16")
+    task32 = trainer.TaskConfig(model="fs", label_mode="fixed")
+    g16 = jax.grad(lambda p: trainer.compute_loss(
+        task16, FS_CFG, p, mstate, batch, key, train=True)[0])(params)
+    g32 = jax.grad(lambda p: trainer.compute_loss(
+        task32, FS_CFG, p, mstate, batch, key, train=True)[0])(params)
+    assert all(g.dtype == jnp.float32 for g in jax.tree.leaves(g16))
+    # cosine similarity of the flattened grads: bf16 noise, same direction
+    f16 = jnp.concatenate([g.ravel() for g in jax.tree.leaves(g16)])
+    f32 = jnp.concatenate([g.ravel() for g in jax.tree.leaves(g32)])
+    cos = float(jnp.vdot(f16, f32) /
+                (jnp.linalg.norm(f16) * jnp.linalg.norm(f32)))
+    assert cos > 0.98, cos
+
+    state = trainer.TrainState.create(params, mstate, tx)
+    step = trainer.make_train_step(task16, FS_CFG, tx, donate=False)
+    first = None
+    for _ in range(30):
+        state, metrics = step(state, batch, key)
+        if first is None:
+            first = float(metrics["tot_loss"])
+    assert float(metrics["tot_loss"]) < first * 0.9
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(state.params))
+
+
 def test_noam_schedule_shape():
     sched = optim.noam_schedule(256, 1000, 1.0)
     lrs = [float(sched(jnp.asarray(s))) for s in [0, 10, 999, 5000]]
