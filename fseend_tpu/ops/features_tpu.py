@@ -97,3 +97,149 @@ def extract_fbank_batch(wavs: np.ndarray, feat_cfg) -> jnp.ndarray:
         context_size=feat_cfg.context_size, subsampling=feat_cfg.subsampling,
         input_transform=feat_cfg.input_transform or "logmel23",
         sr=feat_cfg.rate)
+
+
+class StreamingLogmel:
+    """Blockwise raw-audio -> spliced-logmel featurizer with carried state,
+    exactly matching the offline pipeline on the stream's concatenation
+    (same frames, same cumulative normalization, same splice zeros).
+
+    Feed fixed-size audio blocks with block_samples % (frame_shift *
+    subsampling) == 0 (one compiled program for block 1 where the center
+    pre-pad eats part of the first hop, one for steady state). Emits
+    (B, block_frames/subsampling, (2c+1)*n_mels) per steady block — output
+    lags input by `context_size` STFT frames (the splice lookahead), and
+    `flush()` drains the pipeline with the offline right-pad semantics.
+
+    Supported transforms: logmel23 (none) and logmel23_cummn — the causal
+    family; per-recording mn/mvn need the future by definition.
+    """
+
+    def __init__(self, batch: int, block_samples: int, *,
+                 frame_size: int = 200, frame_shift: int = 80,
+                 context_size: int = 7, subsampling: int = 10,
+                 input_transform: str = "logmel23_cummn",
+                 sr: int = 8000, n_mels: int = 23):
+        if input_transform not in ("logmel23", "logmel23_cummn"):
+            raise ValueError(f"streaming transform must be causal, got "
+                             f"{input_transform}")
+        self.B, self.S = batch, block_samples
+        self.shift, self.c, self.sub = frame_shift, context_size, subsampling
+        self.n_mels, self.tf = n_mels, input_transform
+        self.n_fft = 1 << (int(frame_size) - 1).bit_length()
+        assert block_samples % (frame_shift * subsampling) == 0
+        self.F = block_samples // frame_shift          # mel frames per block
+        self.window = jnp.asarray(F._stft_window(frame_size, self.n_fft),
+                                  jnp.float32)
+        self.mel = jnp.asarray(F.mel_filterbank(sr, self.n_fft, n_mels))
+        p = self.n_fft // 2
+        # steady-state carried-tail length (constant once S % shift == 0)
+        self.tail_len = ((p - self.n_fft) % frame_shift
+                         + self.n_fft - frame_shift)
+        self.reset()
+        self._step = jax.jit(self._step_impl,
+                             static_argnames=("n_frames", "out_take"))
+
+    def reset(self):
+        B, p = self.B, self.n_fft // 2
+        self.tail = np.zeros((B, p), np.float32)       # center pre-pad
+        self.melbuf = jnp.zeros((B, 2 * self.c, self.n_mels), jnp.float32)
+        self.cum_sum = jnp.zeros((B, 1, self.n_mels), jnp.float32)
+        self.n_mel = 0            # mel frames produced so far
+        self.n_spliced = 0        # spliced frames emitted so far
+        self.n_samples = 0
+
+    # ------------------------------------------------------------------
+    def _step_impl(self, tail, block, melbuf, cum_sum, n_mel_start,
+                   *, n_frames: int, out_take: tuple):
+        x = jnp.concatenate([tail, block], axis=1)
+        idx = (jnp.arange(n_frames)[:, None] * self.shift
+               + jnp.arange(self.n_fft)[None, :])
+        frames = x[:, idx] * self.window
+        spec = jnp.fft.rfft(frames, axis=-1)
+        power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+        mel = jnp.log10(jnp.maximum(power @ self.mel.T, 1e-10))
+        if self.tf.endswith("_cummn"):
+            csum = cum_sum + jnp.cumsum(mel, axis=1)
+            counts = (n_mel_start
+                      + jnp.arange(1, n_frames + 1, dtype=jnp.float32)
+                      )[None, :, None]
+            mel_n = mel - csum / counts
+            cum_sum = csum[:, -1:, :]
+        else:
+            mel_n = mel
+        new_tail = x[:, n_frames * self.shift:]
+        # splice pipeline: cat(prev 2c, new) -> emit centers lagging by c
+        cat = jnp.concatenate([melbuf, mel_n], axis=1)
+        T_emit = n_frames
+        parts = [cat[:, j:j + T_emit] for j in range(2 * self.c + 1)]
+        spliced = jnp.concatenate(parts, axis=-1)
+        out = spliced[:, jnp.asarray(out_take, jnp.int32)] if out_take else \
+            spliced[:, :0]
+        return new_tail, cat[:, -2 * self.c:], cum_sum, out
+
+    def process_block(self, block: np.ndarray) -> np.ndarray:
+        """block: (B, block_samples) -> (B, n_emitted, (2c+1)*n_mels)."""
+        assert block.shape == (self.B, self.S)
+        avail = self.tail.shape[1] + self.S
+        n_frames = 1 + (avail - self.n_fft) // self.shift
+        # this step's spliced tensor covers centers
+        # [n_mel - c, n_mel + n_frames - c); emit the valid, subsampled ones
+        start_center = self.n_mel - self.c
+        take = tuple(t - start_center
+                     for t in range(max(0, start_center),
+                                    self.n_mel + n_frames - self.c)
+                     if t % self.sub == 0)
+        tail, self.melbuf, self.cum_sum, out = self._step(
+            jnp.asarray(self.tail), jnp.asarray(block, jnp.float32),
+            self.melbuf, self.cum_sum, jnp.float32(self.n_mel),
+            n_frames=n_frames, out_take=take)
+        self.tail = np.asarray(tail)
+        self.n_mel += n_frames
+        self.n_samples += self.S
+        self.n_spliced += len(take)
+        return np.asarray(out)
+
+    def flush(self) -> np.ndarray:
+        """End of stream: apply the offline right-pad (n_fft//2 zeros), the
+        hop-divisible last-frame drop, and drain the splice lookahead."""
+        p = self.n_fft // 2
+        # total offline mel frames for the stream
+        total = F.count_frames(self.n_samples, self.n_fft, self.shift)
+        x = np.concatenate([self.tail, np.zeros((self.B, p), np.float32)],
+                           axis=1)
+        n_frames = total - self.n_mel
+        outs = []
+        if n_frames > 0:
+            need = n_frames * self.shift + self.n_fft - self.shift
+            if x.shape[1] < need:  # last-frame window may run past the pad
+                x = np.pad(x, ((0, 0), (0, need - x.shape[1])))
+            idx = (np.arange(n_frames)[:, None] * self.shift
+                   + np.arange(self.n_fft)[None, :])
+            frames = jnp.asarray(x[:, idx]) * self.window
+            spec = jnp.fft.rfft(frames, axis=-1)
+            power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+            mel = jnp.log10(jnp.maximum(power @ self.mel.T, 1e-10))
+            if self.tf.endswith("_cummn"):
+                csum = self.cum_sum + jnp.cumsum(mel, axis=1)
+                counts = (self.n_mel + np.arange(1, n_frames + 1,
+                                                 dtype=np.float32))[None, :, None]
+                mel = mel - csum / counts
+            self.melbuf = jnp.concatenate([self.melbuf, mel], axis=1)
+            self.n_mel = total
+        # drain: zero future frames (offline splice zero-pads past T)
+        cat = np.asarray(jnp.concatenate(
+            [self.melbuf, jnp.zeros((self.B, self.c, self.n_mels))], axis=1))
+        remaining = [t for t in range(total)
+                     if t % self.sub == 0][self.n_spliced:]
+        F_feats = np.zeros((self.B, len(remaining),
+                            (2 * self.c + 1) * self.n_mels), np.float32)
+        off = self.n_mel - (cat.shape[1] - self.c)  # index of cat[:,0]
+        for i, t in enumerate(remaining):
+            for j in range(2 * self.c + 1):
+                src = t - self.c + j - off
+                if 0 <= src < cat.shape[1]:
+                    F_feats[:, i, j * self.n_mels:(j + 1) * self.n_mels] = \
+                        cat[:, src]
+        self.n_spliced += len(remaining)
+        return F_feats

@@ -45,8 +45,8 @@ def make_config(path, *, model, tr_dir, cv_dir, max_spk, epochs, init_ckpt,
         f"  max_epochs: {epochs}",
         "  grad_clip: 5",
         "  grad_accm: 1",
-        "  warm_steps: 150",
-        "  schedule_scale: 1.0",
+        "  warm_steps: 200",
+        "  schedule_scale: 0.5",
         "  seed: 777",
         f"  init_ckpt: {init_ckpt or ''}",
         "model:",
