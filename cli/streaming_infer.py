@@ -29,6 +29,11 @@ def main():
     parser.add_argument("--block", type=int, default=0,
                         help="blockwise-recurrent mode with this block size "
                              "(0 = per-frame recurrent scan)")
+    parser.add_argument("--device_frontend", action="store_true",
+                        help="consume RAW AUDIO blocks: on-device "
+                             "StreamingLogmel featurizer feeding the block "
+                             "server (requires --block; causal transforms "
+                             "only)")
     args = parser.parse_args()
 
     import jax
@@ -53,7 +58,32 @@ def main():
     n_slots = data["max_speakers"] + 2
 
     t0 = time.perf_counter()
-    if task.model == "ls" and args.block:
+    if args.device_frontend:
+        if not args.block:
+            parser.error("--device_frontend requires --block")
+        from fseend_tpu.ops.features import read_wav
+        from fseend_tpu.serving.raw_audio import stream_audio_file
+        from fseend_tpu.serving.runtime import BlockStreamingServer
+
+        audio, _sr = read_wav(args.wav_path)
+        srv = BlockStreamingServer(
+            cfg=model_cfg, params=params, model_state=mstate,
+            n_lanes=1, n_slots=n_slots, block=args.block, kind=task.model,
+            capacity=len(feats) + args.block)
+        probs01 = stream_audio_file(
+            srv, np.asarray(audio, np.float32),
+            frame_size=data["feat"]["win_length"],
+            frame_shift=data["feat"]["hop_length"],
+            context_size=data["context_recp"],
+            subsampling=data["subsampling"],
+            input_transform=data["feat_type"])
+        # stream_audio_file returns probabilities; recover logits for the
+        # shared --check / rttm path below
+        p = np.clip(probs01, 1e-7, 1 - 1e-7)
+        logits = np.concatenate(
+            [np.zeros((1, len(p), 1), np.float32),
+             np.log(p / (1 - p))[None]], axis=-1)
+    elif task.model == "ls" and args.block:
         logits = ls_eend.ls_blockstream_run(params, model_cfg, mstate, xs,
                                             n_slots, block=args.block)
     elif task.model == "ls":
@@ -82,7 +112,13 @@ def main():
         else:
             batch = fs_eend.fs_test(params, mstate, model_cfg, xs, lens, n_slots)
             atol = 1e-4
-        diff = float(np.abs(logits - np.asarray(batch["logits"])).max())
+        if args.device_frontend:
+            # the raw-audio path returns probabilities (silence slot
+            # dropped); compare in probability space over speaker slots
+            ref_p = np.asarray(jax.nn.sigmoid(batch["logits"][..., 1:]))
+            diff = float(np.abs(probs01[None] - ref_p).max())
+        else:
+            diff = float(np.abs(logits - np.asarray(batch["logits"])).max())
         ok = diff < (0.05 if task.model == "ls" else atol)
         print(f"streaming vs batch: max diff {diff:.2e} -> "
               f"{'OK' if ok else 'MISMATCH'}")

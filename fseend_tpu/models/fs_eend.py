@@ -370,10 +370,14 @@ def _cached_attention_block(attn_p: Params, x_q: jnp.ndarray, cache: Params,
 
 def fs_blockstream_step(params: Params, state: Params, cfg: FSEENDConfig,
                         bn_state, xs: jnp.ndarray, n_slots: int,
-                        enc_bypass=False):
+                        enc_bypass=False, h_mask: jnp.ndarray | None = None):
     """Consume block m (B, K, in_size), emit logits (B, K, n_slots) of block
     m-1 (first call's output is warm-up garbage). enc_bypass=True drains the
-    final block with zero embeddings (stream-end flush)."""
+    final block with zero embeddings (stream-end flush). h_mask (K,) zeroes
+    this block's embeddings per frame — pass it on a zero-padded final
+    block so the look-ahead conv sees the offline zero padding instead of
+    BN'd-zero-feature embeddings (exact ragged-tail parity with
+    fs_forward)."""
     B, K, _ = xs.shape
     t = state["t"]
     enc_bypass = jnp.asarray(enc_bypass)
@@ -389,6 +393,8 @@ def fs_blockstream_step(params: Params, state: Params, cfg: FSEENDConfig,
         h = nn.layer_norm(lp["norm2"], h + nn.ff_block(lp, h))
         new_enc_kv.append(new_cache)
     h = jnp.where(enc_bypass, 0.0, h)
+    if h_mask is not None:
+        h = h * h_mask[None, :, None].astype(h.dtype)
     # --- look-ahead conv emits block m-1 ---
     window = jnp.concatenate(
         [state["h_tail2"], state["h_prev"], h[:, :cfg.conv_delay]], axis=1)
@@ -439,8 +445,10 @@ def fs_blockstream_run(params: Params, cfg: FSEENDConfig, bn_state,
     xs_p = jnp.pad(xs, ((0, 0), (0, padT), (0, 0)))
     outs = []
     for st_i in range(0, T + padT, block):
+        h_mask = (jnp.arange(st_i, st_i + block) < T)
         state, logits = fs_blockstream_step(
-            params, state, cfg, bn_state, xs_p[:, st_i:st_i + block], n_slots)
+            params, state, cfg, bn_state, xs_p[:, st_i:st_i + block], n_slots,
+            h_mask=h_mask)
         outs.append(logits)
     state, logits = fs_blockstream_step(
         params, state, cfg, bn_state, jnp.zeros((B, block, F), xs.dtype),

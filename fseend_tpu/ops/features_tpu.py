@@ -200,10 +200,19 @@ class StreamingLogmel:
         self.n_spliced += len(take)
         return np.asarray(out)
 
-    def flush(self) -> np.ndarray:
+    def flush(self, last: np.ndarray | None = None) -> np.ndarray:
         """End of stream: apply the offline right-pad (n_fft//2 zeros), the
-        hop-divisible last-frame drop, and drain the splice lookahead."""
+        hop-divisible last-frame drop, and drain the splice lookahead.
+
+        last: optional ragged final audio chunk (B, r) with r <
+        block_samples — streams rarely end on a block boundary, and this
+        path is host-assembled anyway, so the tail needs no fixed shape."""
         p = self.n_fft // 2
+        if last is not None and last.shape[1]:
+            assert last.shape[0] == self.B and last.shape[1] < self.S
+            self.tail = np.concatenate(
+                [self.tail, np.asarray(last, np.float32)], axis=1)
+            self.n_samples += last.shape[1]
         # total offline mel frames for the stream
         total = F.count_frames(self.n_samples, self.n_fft, self.shift)
         x = np.concatenate([self.tail, np.zeros((self.B, p), np.float32)],

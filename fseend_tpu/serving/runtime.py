@@ -177,29 +177,35 @@ class BlockStreamingServer:
                 self.cfg, self.n_lanes, self.capacity, self.n_slots,
                 self.block, self.dtype)
 
-            def step(state, xs, enc_bypass):
+            def step(state, xs, enc_bypass, h_mask):
                 new_state, logits = fs_eend.fs_blockstream_step(
                     self.params, state, self.cfg, self.model_state["bn"], xs,
-                    self.n_slots, enc_bypass=enc_bypass)
+                    self.n_slots, enc_bypass=enc_bypass, h_mask=h_mask)
                 return new_state, jax.nn.sigmoid(logits[..., 1:])
         else:
             self.state = ls_eend.ls_blockstream_init(
                 self.cfg, self.n_lanes, self.n_slots, self.block, self.dtype)
 
-            def step(state, xs, enc_bypass):
+            def step(state, xs, enc_bypass, h_mask):
                 new_state, logits = ls_eend.ls_blockstream_step(
                     self.params, state, self.cfg, self.model_state, xs,
-                    self.n_slots, enc_bypass=enc_bypass)
+                    self.n_slots, enc_bypass=enc_bypass, h_mask=h_mask)
                 return new_state, jax.nn.sigmoid(logits[..., 1:])
 
         self._step = jax.jit(step, donate_argnums=(0,))
 
-    def process_block(self, frames: np.ndarray, flush: bool = False):
+    def process_block(self, frames: np.ndarray, flush: bool = False,
+                      h_mask: np.ndarray | None = None):
         """frames: (n_lanes, block, in_size) -> probs of the PREVIOUS block
         (n_lanes, block, n_slots-1). The first call's output is warm-up
-        garbage; with flush=True a zero-embedding block drains the tail."""
+        garbage; with flush=True a zero-embedding block drains the tail.
+        h_mask (block,) bool marks valid frames — pass it on a zero-padded
+        final partial block for exact ragged-tail parity with the batch
+        pass."""
+        if h_mask is None:
+            h_mask = np.ones((self.block,), bool)
         self.state, probs = self._step(self.state, jnp.asarray(frames),
-                                       jnp.asarray(flush))
+                                       jnp.asarray(flush), jnp.asarray(h_mask))
         return probs
 
     def blocks_consumed(self) -> int:

@@ -217,12 +217,9 @@ def test_streaming_logmel_equals_offline(rng):
                                  input_transform=tf)
             outs = [sl.process_block(audio[:, i * S:(i + 1) * S])
                     for i in range(n_blocks)]
-            if extra:
-                # ragged remainder enters at flush time via the tail; the
-                # streaming API takes fixed blocks, so pad-and-track is the
-                # caller's job — here we just check the block-aligned case
-                audio = audio[:, : S * n_blocks]
-            outs.append(sl.flush())
+            # ragged remainder (streams rarely end on a block boundary)
+            # rides into flush, which is host-assembled and shape-free
+            outs.append(sl.flush(audio[:, S * n_blocks:] if extra else None))
             got = np.concatenate([o for o in outs if o.shape[1]], axis=1)
             for b in range(2):
                 Y = F.transform(F.stft(audio[b], 200, 80), tf)

@@ -118,11 +118,11 @@ def test_blockstream_exact_vs_batch(model, rng):
     blk = M.fs_blockstream_run(params, CFG, state["bn"], xs, 4, block=K)
     np.testing.assert_allclose(np.asarray(blk), np.asarray(batch["logits"]),
                                atol=1e-5)
-    # non-multiple T: padding frames enter the encoder cache as zeros-BN'd
+    # non-multiple T: the final block is zero-padded with h_mask, so the
+    # look-ahead conv sees the offline zero padding — exact to the last frame
     T2 = 18
     xs2 = xs[:, :T2]
     batch2 = M.fs_forward(params, state, CFG, xs2, jnp.full((B,), T2), 4)
     blk2 = M.fs_blockstream_run(params, CFG, state["bn"], xs2, 4, block=K)
-    np.testing.assert_allclose(np.asarray(blk2[:, :T2 - CFG.conv_delay]),
-                               np.asarray(batch2["logits"][:, :T2 - CFG.conv_delay]),
+    np.testing.assert_allclose(np.asarray(blk2), np.asarray(batch2["logits"]),
                                atol=1e-5)

@@ -175,3 +175,60 @@ def test_fs_block_streaming_server(rng):
     # KeyError on LS-shaped state keys
     with pytest.raises(ValueError, match="LS-only"):
         srv.reset_lanes([0])
+
+
+def test_raw_audio_pipeline_matches_offline(rng):
+    """Raw audio blocks -> StreamingLogmel -> BlockStreamingServer == offline
+    host featurization + batch forward, for LS and FS, with a ragged sample
+    tail (the live-stream serving path; reference has no such server — its
+    demos featurize the whole wav up front, streaming_infer_dia.py:24-36)."""
+    import dataclasses
+
+    from fseend_tpu.models import fs_eend
+    from fseend_tpu.ops import features as F
+    from fseend_tpu.serving.raw_audio import stream_audio_file
+    from fseend_tpu.serving.runtime import BlockStreamingServer
+
+    c, sub, K = 1, 2, 5
+    in_size = (2 * c + 1) * 23
+    n = 800 * 3 + 137  # ragged: not a multiple of the audio block
+    audio = rng.standard_normal((n,)).astype(np.float32) * 0.1
+
+    def offline_feats(tf):
+        Y = F.transform(F.stft(audio, 200, 80), tf)
+        return F.subsample(F.splice(Y, c), subsampling=sub)
+
+    feat_kw = dict(frame_size=200, frame_shift=80, context_size=c,
+                   subsampling=sub)
+
+    # --- LS (causal cumulative-mean norm) ---
+    cfg = dataclasses.replace(CFG, in_size=in_size, chunk_size=K)
+    params, mstate = ls_eend.init_ls_eend(jax.random.PRNGKey(0), cfg)
+    srv = BlockStreamingServer(cfg=cfg, params=params, model_state=mstate,
+                               n_lanes=1, n_slots=4, block=K)
+    got = stream_audio_file(srv, audio, input_transform="logmel23_cummn",
+                            **feat_kw)
+    feats = offline_feats("logmel23_cummn")
+    ref = ls_eend.ls_forward(params, mstate, cfg, jnp.asarray(feats)[None],
+                             jnp.array([len(feats)]), 4,
+                             time_mode="chunkwise")
+    ref_probs = np.asarray(jax.nn.sigmoid(ref["logits"][..., 1:]))[0]
+    assert got.shape == ref_probs.shape
+    np.testing.assert_allclose(got, ref_probs, atol=1e-4)
+
+    # --- FS (raw logmel) ---
+    fcfg = fs_eend.FSEENDConfig(
+        in_size=in_size, n_units=32, n_heads=4, enc_n_layers=1,
+        dec_n_layers=1, enc_dim_feedforward=64, dec_dim_feedforward=64,
+        dropout=0.0, conv_delay=2, max_nspks=4)
+    fparams, fmstate = fs_eend.init_fs_eend(jax.random.PRNGKey(1), fcfg)
+    fsrv = BlockStreamingServer(cfg=fcfg, params=fparams, model_state=fmstate,
+                                n_lanes=1, n_slots=4, block=K, kind="fs",
+                                capacity=256)
+    got = stream_audio_file(fsrv, audio, input_transform="logmel23", **feat_kw)
+    feats = offline_feats("logmel23")
+    ref = fs_eend.fs_forward(fparams, fmstate, fcfg, jnp.asarray(feats)[None],
+                             jnp.array([len(feats)]), 4)
+    ref_probs = np.asarray(jax.nn.sigmoid(ref["logits"][..., 1:]))[0]
+    assert got.shape == ref_probs.shape
+    np.testing.assert_allclose(got, ref_probs, atol=1e-4)
