@@ -30,8 +30,16 @@ if os.environ.get("_FSEEND_TESTS_REEXEC") != "1":
             env["XLA_FLAGS"] = (
                 flags + " --xla_force_host_platform_device_count=8").strip()
         # pytest's global capture has already redirected fds 1/2 to its own
-        # temp files (which die with this process image); restore the real
-        # output by borrowing the parent process's stdout/stderr.
+        # temp files (which die with this process image); restore real output
+        # by borrowing the parent's stdout/stderr, falling back to the
+        # controlling terminal, then to a recoverable log file (some parents
+        # — e.g. pipe-reading wrappers — expose no usable /proc fds).
+        def _restore(path, both=True):
+            real = os.open(path, os.O_WRONLY | (0 if both else os.O_APPEND))
+            os.dup2(real, 1)
+            os.dup2(real, 2)
+            os.close(real)
+
         try:
             ppid = os.getppid()
             for fd in (1, 2):
@@ -39,7 +47,16 @@ if os.environ.get("_FSEEND_TESTS_REEXEC") != "1":
                 os.dup2(real, fd)
                 os.close(real)
         except OSError:
-            pass
+            try:
+                _restore("/dev/tty")
+            except OSError:
+                log = os.path.join(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))), ".pytest_reexec.log")
+                try:
+                    os.close(os.open(log, os.O_WRONLY | os.O_CREAT | os.O_TRUNC))
+                    _restore(log, both=False)
+                except OSError:
+                    pass
         sys.stderr.write("[conftest] backend pre-initialized as non-cpu/"
                          "single-device; re-exec'ing tests on a clean "
                          "8-device CPU env\n")
