@@ -116,89 +116,92 @@ def main():
         else x, t)
     params, mstate = cast(params), cast(mstate)
 
-    # --- mode 1: per-frame recurrent scan (fast compile ~2 min) ---
-    block = int(os.environ.get("BENCH_BLOCK", "500"))
-    n_rep = int(os.environ.get("BENCH_BLOCKS", "10"))
-    server = StreamingServer(kind="ls", cfg=cfg, params=params,
-                             model_state=mstate, n_lanes=lanes,
-                             n_slots=cfg.max_nspks, dtype=dt)
-    xs = jax.device_put(
-        jnp.asarray(rng.standard_normal((lanes, block, cfg.in_size)), dt))
-    p, _ = server.process_block(xs)
-    jax.block_until_ready(p)
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
+    if not os.environ.get("BENCH_NO_SERVE"):
+        # --- mode 1: per-frame recurrent scan (fast compile ~2 min) ---
+        block = int(os.environ.get("BENCH_BLOCK", "500"))
+        n_rep = int(os.environ.get("BENCH_BLOCKS", "10"))
+        server = StreamingServer(kind="ls", cfg=cfg, params=params,
+                                 model_state=mstate, n_lanes=lanes,
+                                 n_slots=cfg.max_nspks, dtype=dt)
+        xs = jax.device_put(
+            jnp.asarray(rng.standard_normal((lanes, block, cfg.in_size)), dt))
         p, _ = server.process_block(xs)
-    jax.block_until_ready(p)
-    el1 = time.perf_counter() - t0
-    fps1 = lanes * block * n_rep / el1
-    _record(fps1, f"per-frame recurrent scan (lanes={lanes}, "
-                  f"{fps1 / lanes / 10:.0f}x realtime/lane)")
-    # On-device frame-step latency: the sustained rate amortizes dispatch
-    # over block*n_rep queued steps, so elapsed/steps IS device time per
-    # frame-step (one step advances all `lanes` streams one frame).
-    dev_ms = el1 / (block * n_rep) * 1e3
-    print(f"[bench] on-device p50 frame-step latency: {dev_ms:.3f} ms "
-          f"({lanes} lanes/step)", file=sys.stderr, flush=True)
-    _RESULT["ondevice_frame_ms"] = round(dev_ms, 3)
+        jax.block_until_ready(p)
+        t0 = time.perf_counter()
+        for _ in range(n_rep):
+            p, _ = server.process_block(xs)
+        jax.block_until_ready(p)
+        el1 = time.perf_counter() - t0
+        fps1 = lanes * block * n_rep / el1
+        _record(fps1, f"per-frame recurrent scan (lanes={lanes}, "
+                      f"{fps1 / lanes / 10:.0f}x realtime/lane)")
+        # On-device frame-step latency: the sustained rate amortizes dispatch
+        # over block*n_rep queued steps, so elapsed/steps IS device time per
+        # frame-step (one step advances all `lanes` streams one frame).
+        dev_ms = el1 / (block * n_rep) * 1e3
+        print(f"[bench] on-device p50 frame-step latency: {dev_ms:.3f} ms "
+              f"({lanes} lanes/step)", file=sys.stderr, flush=True)
+        _RESULT["ondevice_frame_ms"] = round(dev_ms, 3)
 
-    # wall p50 of a single un-pipelined dispatch (env relay overhead incl.)
-    x1 = xs[:, :1]
-    p, _ = server.process_block(x1)
-    jax.block_until_ready(p)
-    lat = []
-    for _ in range(30):
-        t = time.perf_counter()
+        # wall p50 of a single un-pipelined dispatch (relay overhead incl.)
+        x1 = xs[:, :1]
         p, _ = server.process_block(x1)
         jax.block_until_ready(p)
-        lat.append((time.perf_counter() - t) * 1e3)
-    print(f"[bench] p50 single-frame wall latency: {np.percentile(lat, 50):.2f} ms "
-          f"(relay-dispatch bound; device time above)", file=sys.stderr,
-          flush=True)
+        lat = []
+        for _ in range(30):
+            t = time.perf_counter()
+            p, _ = server.process_block(x1)
+            jax.block_until_ready(p)
+            lat.append((time.perf_counter() - t) * 1e3)
+        print(f"[bench] p50 single-frame wall latency: "
+              f"{np.percentile(lat, 50):.2f} ms "
+              f"(relay-dispatch bound; device time above)", file=sys.stderr,
+              flush=True)
 
-    if os.environ.get("BENCH_FAST"):
-        print(json.dumps(_RESULT))
-        return
+        if os.environ.get("BENCH_FAST"):
+            print(json.dumps(_RESULT))
+            return
 
-    # --- mode 2: blockwise-recurrent (chunkwise-exact; K/10Hz latency),
-    # XLA vs the fused Pallas carried-state retention kernel ---
-    import dataclasses
+        # --- mode 2: blockwise-recurrent (chunkwise-exact; K/10Hz latency),
+        # XLA vs the fused Pallas carried-state retention kernel ---
+        import dataclasses
 
-    K = int(os.environ.get("BENCH_BLOCKWISE_K", "100"))
-    xsb = jax.device_put(
-        jnp.asarray(rng.standard_normal((lanes, K, cfg.in_size)), dt))
-    mfu2 = None
-    for variant, vcfg in (("xla", cfg),
-                          ("pallas", dataclasses.replace(cfg, use_pallas=True))):
-        if variant == "pallas" and os.environ.get("BENCH_NO_PALLAS"):
-            continue
-        st = ls_eend.ls_blockstream_init(vcfg, lanes, vcfg.max_nspks, K, dt)
-        step = jax.jit(
-            lambda s, x, c=vcfg: ls_eend.ls_blockstream_step(
-                params, s, c, mstate, x, c.max_nspks),
-            donate_argnums=(0,))
-        flops_blk = compiled_flops(step, st, xsb)
-        st, y = step(st, xsb)
-        jax.block_until_ready(y)
-        n2 = 20
-        t0 = time.perf_counter()
-        for _ in range(n2):
+        K = int(os.environ.get("BENCH_BLOCKWISE_K", "100"))
+        xsb = jax.device_put(
+            jnp.asarray(rng.standard_normal((lanes, K, cfg.in_size)), dt))
+        mfu2 = None
+        for variant, vcfg in (
+                ("xla", cfg),
+                ("pallas", dataclasses.replace(cfg, use_pallas=True))):
+            if variant == "pallas" and os.environ.get("BENCH_NO_PALLAS"):
+                continue
+            st = ls_eend.ls_blockstream_init(vcfg, lanes, vcfg.max_nspks, K, dt)
+            step = jax.jit(
+                lambda s, x, c=vcfg: ls_eend.ls_blockstream_step(
+                    params, s, c, mstate, x, c.max_nspks),
+                donate_argnums=(0,))
+            flops_blk = compiled_flops(step, st, xsb)
             st, y = step(st, xsb)
-        jax.block_until_ready(y)
-        el2 = time.perf_counter() - t0
-        fps2 = lanes * K * n2 / el2
-        _record(fps2, f"blockwise-recurrent K={K} [{variant}] "
-                      f"({fps2 / lanes / 10:.0f}x realtime/lane)")
-        m = _mfu(flops_blk, n2, el2)
-        if m is not None and (mfu2 is None or fps2 >= _RESULT["value"]):
-            mfu2 = m
-        if m is not None:
-            print(f"[bench] serving MFU [{variant}] (XLA-counted "
-                  f"{flops_blk / 1e9:.2f} GFLOP/call): {100 * m:.2f}% of "
-                  f"{device_peak_flops() / 1e12:.0f} TFLOP/s",
-                  file=sys.stderr, flush=True)
-    if mfu2 is not None:
-        _RESULT["mfu_serving"] = round(mfu2, 5)
+            jax.block_until_ready(y)
+            n2 = 20
+            t0 = time.perf_counter()
+            for _ in range(n2):
+                st, y = step(st, xsb)
+            jax.block_until_ready(y)
+            el2 = time.perf_counter() - t0
+            fps2 = lanes * K * n2 / el2
+            _record(fps2, f"blockwise-recurrent K={K} [{variant}] "
+                          f"({fps2 / lanes / 10:.0f}x realtime/lane)")
+            m = _mfu(flops_blk, n2, el2)
+            if m is not None and (mfu2 is None or fps2 >= _RESULT["value"]):
+                mfu2 = m
+            if m is not None:
+                print(f"[bench] serving MFU [{variant}] (XLA-counted "
+                      f"{flops_blk / 1e9:.2f} GFLOP/call): {100 * m:.2f}% of "
+                      f"{device_peak_flops() / 1e12:.0f} TFLOP/s",
+                      file=sys.stderr, flush=True)
+        if mfu2 is not None:
+            _RESULT["mfu_serving"] = round(mfu2, 5)
 
     # --- mode 3: training step throughput + MFU (production LS, fwd+bwd) ---
     if not os.environ.get("BENCH_NO_TRAIN"):
