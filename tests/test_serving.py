@@ -232,3 +232,39 @@ def test_raw_audio_pipeline_matches_offline(rng):
     ref_probs = np.asarray(jax.nn.sigmoid(ref["logits"][..., 1:]))[0]
     assert got.shape == ref_probs.shape
     np.testing.assert_allclose(got, ref_probs, atol=1e-4)
+
+
+def test_aot_exported_server_matches_live(rng, tmp_path):
+    """save_server freezes a BlockStreamingServer to a self-contained
+    artifact (StableHLO + baked-in weights); AotBlockServer reproduces the
+    live server bit-for-bit without touching model code or checkpoints."""
+    import dataclasses
+
+    from fseend_tpu.serving.aot import AotBlockServer, save_server
+    from fseend_tpu.serving.runtime import BlockStreamingServer
+
+    cfgK = dataclasses.replace(CFG, chunk_size=6, dropout=0.0)
+    params, mstate = ls_eend.init_ls_eend(jax.random.PRNGKey(0), cfgK)
+    live = BlockStreamingServer(cfg=cfgK, params=params, model_state=mstate,
+                                n_lanes=2, n_slots=4, block=6)
+    path = str(tmp_path / "srv.npz")
+    save_server(live, path)
+    aot = AotBlockServer(path)
+    assert aot.meta["kind"] == "ls" and aot.block == 6
+
+    feats = rng.standard_normal((2, 18, CFG.in_size)).astype(np.float32)
+    for st in range(0, 18, 6):
+        p_live = np.asarray(live.process_block(feats[:, st:st + 6]))
+        p_aot = np.asarray(aot.process_block(feats[:, st:st + 6]))
+        np.testing.assert_array_equal(p_live, p_aot)
+    zeros = np.zeros((2, 6, CFG.in_size), np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(live.process_block(zeros, flush=True)),
+        np.asarray(aot.process_block(zeros, flush=True)))
+    # reset + ragged-tail h_mask path
+    aot.reset_all()
+    live.reset_all()
+    mask = np.arange(6) < 4
+    np.testing.assert_array_equal(
+        np.asarray(live.process_block(feats[:, :6], h_mask=mask)),
+        np.asarray(aot.process_block(feats[:, :6], h_mask=mask)))
