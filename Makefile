@@ -11,11 +11,11 @@ TEST_ENV := PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
 CURR_WORK ?= /tmp/curr_fs
 curriculum:
 	python tools/run_curriculum.py --model fs --work $(CURR_WORK) \
-		--stages 1,2,3,4 --epochs 12
+		--stages 1,2,3,4 --epochs 25
 
 curriculum-ls:
 	python tools/run_curriculum.py --model ls --work $(or $(CURR_WORK_LS),/tmp/curr_ls) \
-		--stages 1,2,3,4 --epochs 12
+		--stages 1,2,3,4 --epochs 25
 
 test:
 	$(TEST_ENV) python -m pytest tests/ -q

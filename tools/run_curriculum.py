@@ -34,14 +34,21 @@ def sh(args, **kw):
 
 def make_config(path, *, model, tr_dir, cv_dir, max_spk, epochs, init_ckpt,
                 n_units, batch_size, log_dir, name, on_the_fly):
+    # reference protocol: average the LAST ~10 epochs (FS-EEND/README.md:56)
+    avg_start = max(0, epochs - 10)
     lines = [
         "log:",
         f"  model_name: {name}",
         f"  log_dir: {log_dir}/x",
+        f"  start_epoch: {avg_start}",
+        f"  end_epoch: {epochs - 1}",
         "training:",
         f"  batch_size: {batch_size}",
-        "  lr: 1",
-        "  opt: noam",
+        # plain adam: at these tiny step counts (~20 steps/epoch) the Noam
+        # peak lands near the END of the run and destabilizes late epochs —
+        # exactly the window the checkpoint average samples
+        "  lr: 0.001",
+        "  opt: adam",
         f"  max_epochs: {epochs}",
         "  grad_clip: 5",
         "  grad_accm: 1",
@@ -112,7 +119,7 @@ def main():
     ap.add_argument("--model", choices=["fs", "ls"], default="fs")
     ap.add_argument("--work", required=True)
     ap.add_argument("--stages", default="1,2,3,4")
-    ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--epochs", type=int, default=25)
     ap.add_argument("--n_recs", type=int, default=24)
     ap.add_argument("--dur", type=float, default=60.0)
     ap.add_argument("--n_units", type=int, default=64)
