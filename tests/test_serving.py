@@ -268,3 +268,61 @@ def test_aot_exported_server_matches_live(rng, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(live.process_block(feats[:, :6], h_mask=mask)),
         np.asarray(aot.process_block(feats[:, :6], h_mask=mask)))
+
+
+def test_multichip_block_server_lane_sharded(rng):
+    """BlockStreamingServer lanes shard over the data axis with zero
+    collectives: 8-device result == single-device."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices (see tests/conftest.needs_mesh)")
+    import dataclasses
+
+    from fseend_tpu.parallel import mesh as pmesh
+    from fseend_tpu.serving.runtime import (BlockStreamingServer,
+                                            shard_server_over_mesh)
+
+    cfgK = dataclasses.replace(CFG, chunk_size=6, dropout=0.0)
+    params, mstate = ls_eend.init_ls_eend(jax.random.PRNGKey(0), cfgK)
+    feats = rng.standard_normal((8, 12, CFG.in_size)).astype(np.float32)
+
+    ref_srv = BlockStreamingServer(cfg=cfgK, params=params, model_state=mstate,
+                                   n_lanes=8, n_slots=4, block=6)
+    p_ref = [np.asarray(ref_srv.process_block(feats[:, s:s + 6]))
+             for s in (0, 6)]
+
+    mesh = pmesh.make_mesh(n_data=8, n_model=1)
+    srv = BlockStreamingServer(cfg=cfgK, params=params, model_state=mstate,
+                               n_lanes=8, n_slots=4, block=6)
+    with jax.set_mesh(mesh):
+        shard_server_over_mesh(srv, mesh)
+        p_sh = [np.asarray(srv.process_block(feats[:, s:s + 6]))
+                for s in (0, 6)]
+    np.testing.assert_allclose(p_sh[1], p_ref[1], atol=1e-5)
+
+
+def test_raw_audio_pipeline_over_aot_artifact(rng, tmp_path):
+    """Composition: a frozen AOT artifact serves raw audio through
+    RawAudioPipeline (same process_block protocol), matching the live
+    server's pipeline output exactly."""
+    import dataclasses
+
+    from fseend_tpu.serving.aot import AotBlockServer, save_server
+    from fseend_tpu.serving.raw_audio import stream_audio_file
+    from fseend_tpu.serving.runtime import BlockStreamingServer
+
+    c, sub, K = 1, 2, 5
+    cfg = dataclasses.replace(CFG, in_size=(2 * c + 1) * 23, chunk_size=K)
+    params, mstate = ls_eend.init_ls_eend(jax.random.PRNGKey(0), cfg)
+    live = BlockStreamingServer(cfg=cfg, params=params, model_state=mstate,
+                                n_lanes=1, n_slots=4, block=K)
+    path = str(tmp_path / "srv.npz")
+    save_server(live, path)
+    live.reset_all()
+    aot = AotBlockServer(path)
+
+    audio = rng.standard_normal((800 * 2 + 57,)).astype(np.float32) * 0.1
+    kw = dict(frame_size=200, frame_shift=80, context_size=c,
+              subsampling=sub, input_transform="logmel23_cummn")
+    p_live = stream_audio_file(live, audio, **kw)
+    p_aot = stream_audio_file(aot, audio, **kw)
+    np.testing.assert_array_equal(p_live, p_aot)
