@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import time
 from pathlib import Path
 
@@ -140,6 +141,31 @@ def run_training(
     eval_step = trainer_lib.make_eval_step(task, model_cfg)
     rng = jax.random.PRNGKey(seed)
 
+    # Preemption safety (beyond the reference, which loses everything since
+    # the last epoch): on SIGTERM, finish the in-flight step, save
+    # ckpt_preempt.npz and return.  The saved `epoch` is the last COMPLETED
+    # one, so --checkpoint_resume replays the interrupted epoch from its
+    # start with the preempted params/moments/step (standard semantics; the
+    # deterministic sampler replays the same shard order).
+    preempt = {"flag": False}
+
+    def _on_term(signum, frame):
+        preempt["flag"] = True
+
+    try:
+        prev_handler = signal.signal(signal.SIGTERM, _on_term)
+    except ValueError:          # not the main thread (e.g. some test runners)
+        prev_handler = None
+
+    def _save_ckpt(path, epoch, val_der=None):
+        ckpt_lib.save_pytree(
+            path,
+            {"params": jax.tree.map(np.asarray, state.params),
+             "model_state": jax.tree.map(np.asarray, state.model_state),
+             "opt_state": jax.tree.map(np.asarray, state.opt_state)},
+            extra={"epoch": epoch, "step": int(state.step),
+                   "val_der": val_der if val_der is not None else np.nan})
+
     # Each *host* loads its shard of the global batch (single-controller:
     # process_count()==1 -> the whole batch); device-level sharding happens
     # via shard_batch below.
@@ -165,6 +191,14 @@ def run_training(
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
             state, metrics = train_step(state, batch, rng)
             n_steps += 1
+            if preempt["flag"]:
+                _save_ckpt(logger.dir / "ckpt_preempt.npz", epoch - 1)
+                print(f"SIGTERM: saved {logger.dir}/ckpt_preempt.npz at "
+                      f"step {int(state.step)} (epoch {epoch} will replay "
+                      f"on resume)", flush=True)
+                if prev_handler is not None:
+                    signal.signal(signal.SIGTERM, prev_handler)
+                return state, logger.dir
             if n_steps % log_every == 0:
                 logger.log(int(state.step), {
                     "pit_loss": metrics["pit_loss"],
@@ -208,13 +242,7 @@ def run_training(
 
         # ---- checkpoint (every epoch kept, save_top_k=-1 semantics;
         # opt_state included for Lightning-fidelity resume) ----
-        ckpt_lib.save_pytree(
-            logger.dir / f"ckpt_epoch={epoch}.npz",
-            {"params": jax.tree.map(np.asarray, state.params),
-             "model_state": jax.tree.map(np.asarray, state.model_state),
-             "opt_state": jax.tree.map(np.asarray, state.opt_state)},
-            extra={"epoch": epoch, "step": int(state.step),
-                   "val_der": val_der if val_der is not None else np.nan})
+        _save_ckpt(logger.dir / f"ckpt_epoch={epoch}.npz", epoch, val_der)
         if val_der is not None and val_der < best[0]:
             best = (val_der, epoch)
         if (early_stop_patience is not None and val_der is not None
@@ -222,6 +250,8 @@ def run_training(
             print(f"early stop at epoch {epoch} (best {best[0]:.4f} @ {best[1]})")
             break
 
+    if prev_handler is not None:
+        signal.signal(signal.SIGTERM, prev_handler)
     return state, logger.dir
 
 

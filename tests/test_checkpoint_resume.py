@@ -113,3 +113,27 @@ def test_warm_start_from_loop_saved_avg_checkpoint(tmp_path):
     loaded = ckpt_lib.load_pytree(
         avg_path, {"model_state": jax.tree.map(np.asarray, state.model_state)})
     _assert_trees_equal(loaded["model_state"], state.model_state)
+
+
+def test_preemption_checkpoint_and_resume(tmp_path):
+    """SIGTERM mid-training saves ckpt_preempt.npz at the next step boundary
+    and returns; resuming from it continues (params + moments + step carried,
+    interrupted epoch replayed from its start)."""
+    import os
+    import signal
+    import threading
+
+    timer = threading.Timer(0.8, os.kill, (os.getpid(), signal.SIGTERM))
+    timer.start()
+    try:
+        state, ckpt_dir = _train(tmp_path, "preempt", max_epochs=500)
+    finally:
+        timer.cancel()
+    p = ckpt_dir / "ckpt_preempt.npz"
+    assert p.exists(), "SIGTERM did not produce a preemption checkpoint"
+    extra = ckpt_lib.load_extra(p)
+    assert int(extra["step"]) == int(state.step) > 0
+    resumed_epochs = int(extra["epoch"]) + 3
+    state_res, _ = _train(tmp_path, "preempt_resumed",
+                          max_epochs=resumed_epochs, resume_from=str(p))
+    assert int(state_res.step) > int(state.step)
