@@ -334,7 +334,10 @@ def ls_stream_init(cfg: LSEENDConfig, batch: int, n_slots: int | None = None,
     C = n_slots if n_slots is not None else cfg.max_nspks
     rc = cfg.ret_cfg
     return {
-        "t": jnp.zeros((), jnp.int32),
+        # per-LANE stream position: lanes serve independent streams that
+        # start/flush at different times (continuous batching); γ=1 retention
+        # is position-independent, so this is the only per-lane clock needed
+        "t": jnp.zeros((batch,), jnp.int32),
         "enc": [
             {"ret": R.retention_state_init(rc, batch, dtype),
              "conv": jnp.zeros((batch, cfg.conv_kernel_size - 1, cfg.n_units), dtype)}
@@ -381,20 +384,32 @@ def _block_step(p: Params, bn_state, x_t: jnp.ndarray, st: Params,
 
 def ls_stream_step(params: Params, state: Params, cfg: LSEENDConfig, model_state,
                    x_t: jnp.ndarray, n_slots: int, flush=False):
-    """One O(1) streaming step. x_t: (B, in_size). flush=True pushes a zero
+    """One O(1) streaming step. x_t: (B, in_size). flush pushes a zero
     vector into the look-ahead cnn without running the encoder
-    (LS streaming_infer_dia.py:91-95). Returns (new_state, out)."""
+    (LS streaming_infer_dia.py:91-95); scalar or PER-LANE (B,) — lanes
+    serve independent streams, so one lane can drain its conv tail while
+    others keep consuming audio. Returns (new_state, out); out["valid"]
+    is (B,)."""
     t = state["t"]
     B = x_t.shape[0]
-    flush = jnp.asarray(flush)
+    flush = jnp.broadcast_to(jnp.asarray(flush, bool), (B,))
+
+    def lane_keep(keep_old, new, old):
+        """Per-leaf lane select; leaves lead with B (or B*C for the
+        decoder, handled by the caller via repeat)."""
+        return jax.tree.map(
+            lambda n, o: jnp.where(
+                keep_old.reshape(keep_old.shape + (1,) * (n.ndim - 1)), o, n),
+            new, old)
+
     # --- conformer encoder, one frame ---
     h = nn.layer_norm(params["enc"]["norm"], nn.linear(params["enc"]["proj"], x_t))
     new_enc = []
     for bp, bs, st in zip(params["enc"]["blocks"], model_state["conv_bn"], state["enc"]):
         h, new_st = _block_step(bp, bs, h, st, cfg)
-        new_st = jax.tree.map(lambda new, old: jnp.where(flush, old, new), new_st, st)
+        new_st = lane_keep(flush, new_st, st)
         new_enc.append(new_st)
-    h = jnp.where(flush, 0.0, h)
+    h = jnp.where(flush[:, None], 0.0, h)
     # --- look-ahead cnn ring ---
     cnn_buf = jnp.concatenate([state["cnn_buf"][:, 1:], h[:, None, :]], axis=1)
     y = jnp.einsum("bkd,kdo->bo", cnn_buf, params["cnn"]["kernel"]) + params["cnn"]["bias"]
@@ -406,12 +421,12 @@ def ls_stream_step(params: Params, state: Params, cfg: LSEENDConfig, model_state
         [jnp.broadcast_to(emb[:, None, :], (B, n_slots, cfg.n_units)),
          jnp.broadcast_to(pe[None], (B, n_slots, cfg.n_units))], axis=-1)
     x = nn.linear(params["dec"]["convert"], x)  # (B, C, D)
+    valid_slots = jnp.repeat(valid, n_slots)  # decoder states are (B*C, ...)
     new_dec = []
     for lp, st in zip(params["dec"]["layers"], state["dec"]):
         xt = x.reshape(B * n_slots, cfg.n_units)
         a, ret_state = R.retention_recurrent_step(lp["time_ret"], xt, st, cfg.ret_cfg)
-        ret_state = jax.tree.map(
-            lambda new, old: jnp.where(valid, new, old), ret_state, st)
+        ret_state = lane_keep(~valid_slots, ret_state, st)
         x = nn.layer_norm(lp["norm11"], x + a.reshape(B, n_slots, cfg.n_units))
         s = nn.mha(lp["spk_attn"], x, x, x, None)
         x = nn.layer_norm(lp["norm21"], x + s)

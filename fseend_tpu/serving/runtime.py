@@ -46,7 +46,10 @@ class StreamingServer:
 
     def __post_init__(self):
         self.state = self._init_state()
-        self._zero_state = self.state
+        # host-side copy: the live state's buffers are DONATED by the jitted
+        # steps, so aliasing them here would leave _reset closing over
+        # deleted arrays (reset_lanes after any step would crash)
+        self._zero_state = jax.tree.map(np.asarray, self.state)
         def step_with_probs(state, x_t, flush):
             new_state, out = self._step_impl(state, x_t, flush)
             return new_state, {"probs": self._probs(out["logits"]),
@@ -88,6 +91,10 @@ class StreamingServer:
     def _block_impl(self, state, xs, flush):
         def body(carry, inp):
             x_t, fl = inp
+            if self.kind == "fs":
+                # FS caches are position-indexed by a shared counter; flush
+                # must be uniform across lanes (checked in process_block)
+                fl = fl[0]
             new_state, out = self._step_impl(carry, x_t, fl)
             return new_state, (out["logits"], out["valid"])
 
@@ -96,11 +103,19 @@ class StreamingServer:
         return state, (self._probs(logits.swapaxes(0, 1)), valid)
 
     def process_block(self, frames: np.ndarray, flush=None):
-        """frames: (n_lanes, K, in_size); flush: (K,) bool or None.
-        Returns (probs (n_lanes, K, n_slots-1), valid (K,))."""
+        """frames: (n_lanes, K, in_size); flush: None, (K,) shared, or
+        (n_lanes, K) per-lane (LS only — lanes serve independent streams).
+        Returns (probs (n_lanes, K, n_slots-1), valid); valid is (K, n_lanes)
+        for LS (per-lane stream clocks), (K,) for FS."""
         K = frames.shape[1]
-        if flush is None:
-            flush = jnp.zeros((K,), bool)
+        flush = np.zeros((K,), bool) if flush is None else np.asarray(flush)
+        if flush.ndim == 1:
+            flush = np.broadcast_to(flush[:, None], (K, self.n_lanes))
+        else:
+            if self.kind == "fs" and (flush != flush[:1]).any():
+                raise ValueError("per-lane flush is LS-only (FS caches share "
+                                 "one position counter)")
+            flush = flush.T  # (n_lanes, K) -> scan-major (K, n_lanes)
         self.state, (probs, valid) = self._block(
             self.state, jnp.asarray(frames), jnp.asarray(flush))
         return probs, valid
@@ -110,20 +125,26 @@ class StreamingServer:
         def reset_leaf(cur, zero):
             if cur.ndim == 0:
                 return cur  # shared scalar counters are left untouched
-            # every lane-indexed tensor has the lane axis first
+            # lane-indexed tensors lead with n_lanes; decoder retention
+            # states lead with n_lanes*n_slots (slot-major per lane)
             if cur.shape[:1] == (self.n_lanes,):
-                m = lane_mask.reshape((self.n_lanes,) + (1,) * (cur.ndim - 1))
-                return jnp.where(m, zero, cur)
-            return cur
+                m = lane_mask
+            elif cur.shape[:1] == (self.n_lanes * self.n_slots,):
+                m = jnp.repeat(lane_mask, self.n_slots)
+            else:
+                return cur
+            m = m.reshape(m.shape + (1,) * (cur.ndim - 1))
+            return jnp.where(m, zero, cur)
 
         return jax.tree.map(reset_leaf, state, self._zero_state)
 
     def reset_lanes(self, lanes):
         """Reset the given lane indices to fresh-stream state.
 
-        NOTE: the scalar step counter is shared; lane-level reset is exact
-        for LS (state is position-independent with γ=1) and approximate for
-        FS (cache validity window). For FS, prefer draining a full batch.
+        Exact for LS: every per-lane tensor INCLUDING the lane's stream
+        clock `t` resets, so a reused lane reproduces a fresh server
+        bit-for-bit (tested). Approximate for FS (the KV-cache position
+        counter is shared) — prefer draining a full FS batch.
         """
         mask = np.zeros((self.n_lanes,), bool)
         mask[np.asarray(lanes)] = True
