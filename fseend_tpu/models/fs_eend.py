@@ -204,8 +204,10 @@ def fs_stream_init(cfg: FSEENDConfig, batch: int, capacity: int, n_slots: int | 
     hd = D // H
     C = n_slots if n_slots is not None else cfg.max_nspks
     return {
-        "t": jnp.zeros((), jnp.int32),  # frames pushed so far
-        "emitted": jnp.zeros((), jnp.int32),  # decoder steps taken
+        # per-LANE stream clocks (continuous batching: lanes serve
+        # independent streams that start/flush at different times)
+        "t": jnp.zeros((batch,), jnp.int32),        # frames pushed so far
+        "emitted": jnp.zeros((batch,), jnp.int32),  # decoder steps taken
         "enc_kv": [
             {"k": jnp.zeros((batch, H, capacity, hd), dtype),
              "v": jnp.zeros((batch, H, capacity, hd), dtype)}
@@ -221,17 +223,25 @@ def fs_stream_init(cfg: FSEENDConfig, batch: int, capacity: int, n_slots: int | 
 
 
 def _cached_attention(attn_p: Params, x_q: jnp.ndarray, cache: Params, idx: jnp.ndarray):
-    """Single-query attention against a fixed-capacity cache.
+    """Single-query attention against a fixed-capacity cache with PER-LANE
+    positions.
 
-    x_q: (..., D) one frame. Writes this frame's k/v at `idx`, attends over
-    positions [0, idx]. Returns (out (..., D), new_cache)."""
+    x_q: (B, ..., D) one frame per lane. Writes lane b's k/v at idx[b]
+    (shared across any inner axes, e.g. decoder slots), attends positions
+    [0, idx[b]]. Returns (out (B, ..., D), new_cache)."""
     q, k, v = nn.mha_project_qkv(attn_p, x_q[..., None, :], x_q[..., None, :], x_q[..., None, :])
-    # q/k/v: (..., H, 1, hd)
-    new_k = jax.lax.dynamic_update_index_in_dim(cache["k"], k[..., 0, :], idx, axis=-2)
-    new_v = jax.lax.dynamic_update_index_in_dim(cache["v"], v[..., 0, :], idx, axis=-2)
+    # q/k/v: (B, ..., H, 1, hd)
+
+    def upd(c, kk, i):
+        return jax.lax.dynamic_update_index_in_dim(c, kk, i, axis=-2)
+
+    new_k = jax.vmap(upd)(cache["k"], k[..., 0, :], idx)
+    new_v = jax.vmap(upd)(cache["v"], v[..., 0, :], idx)
     cap = cache["k"].shape[-2]
-    mask = jnp.where(jnp.arange(cap) <= idx, 0.0, nn.NEG_INF)  # (cap,)
-    out = nn.mha_core(q, new_k, new_v, mask[None, :])  # (..., H, 1, hd)
+    mask = jnp.where(jnp.arange(cap)[None, :] <= idx[:, None], 0.0,
+                     nn.NEG_INF)                          # (B, cap)
+    mask = mask.reshape((mask.shape[0],) + (1,) * (q.ndim - 2) + (cap,))
+    out = nn.mha_core(q, new_k, new_v, mask)  # (B, ..., H, 1, hd)
     out = nn._merge_heads(out)[..., 0, :]
     out = nn.linear(attn_p["out_proj"], out)
     return out, {"k": new_k, "v": new_v}
@@ -248,25 +258,32 @@ def fs_stream_step(params: Params, state: Params, cfg: FSEENDConfig, bn_state,
     streaming_tfm...py:41-42).
 
     Returns (new_state, out) where out = dict(logits (B, n_slots),
-    emb (B, D), valid: bool scalar — False during the first `conv_delay`
-    steps when the look-ahead conv has no output yet).
+    emb (B, D), valid (B,) bool — False during a lane's first `conv_delay`
+    steps when its look-ahead conv has no output yet).  flush is scalar or
+    per-lane (B,): lanes serve independent streams (continuous batching).
     """
     t = state["t"]
     B = x_t.shape[0]
-    flush = jnp.asarray(flush)
+    flush = jnp.broadcast_to(jnp.asarray(flush, bool), (B,))
+
+    def lane_keep(keep_old, new, old):
+        return jax.tree.map(
+            lambda n, o: jnp.where(
+                keep_old.reshape(keep_old.shape + (1,) * (n.ndim - 1)), o, n),
+            new, old)
+
     # --- encoder (eval-mode BN: running stats) ---
     h, _ = nn.batch_norm(params["enc"]["bn"], bn_state, x_t, train=False)
     h = nn.layer_norm(params["enc"]["norm"], nn.linear(params["enc"]["proj"], h))
     new_enc_kv = []
     for lp, cache in zip(params["enc"]["layers"], state["enc_kv"]):
         a, new_cache = _cached_attention(lp["self_attn"], h, cache, t)
-        new_cache = jax.tree.map(
-            lambda new, old: jnp.where(flush, old, new), new_cache, cache)
+        new_cache = lane_keep(flush, new_cache, cache)
         h = nn.layer_norm(lp["norm1"], h + a)
         h = nn.layer_norm(lp["norm2"], h + nn.ff_block(lp, h))
         new_enc_kv.append(new_cache)
     # flush steps push zeros into the conv, bypassing the encoder
-    h = jnp.where(flush, 0.0, h)
+    h = jnp.where(flush[:, None], 0.0, h)
     # --- look-ahead conv ring buffer ---
     conv_buf = jnp.concatenate([state["conv_buf"][:, 1:], h[:, None, :]], axis=1)
     y = jnp.einsum("bkd,kdo->bo", conv_buf, params["cnn"]["kernel"]) + params["cnn"]["bias"]
@@ -282,8 +299,7 @@ def fs_stream_step(params: Params, state: Params, cfg: FSEENDConfig, bn_state,
     new_dec_kv = []
     for lp, cache in zip(params["dec"]["layers"], state["dec_kv"]):
         a, new_cache = _cached_attention(lp["time_attn"], x, cache, u)
-        new_cache = jax.tree.map(
-            lambda new, old: jnp.where(valid, new, old), new_cache, cache)
+        new_cache = lane_keep(~valid, new_cache, cache)
         x = nn.layer_norm(lp["norm11"], x + a)
         s = nn.mha(lp["spk_attn"], x, x, x, None)
         x = nn.layer_norm(lp["norm21"], x + s)
@@ -342,6 +358,10 @@ def fs_blockstream_init(cfg: FSEENDConfig, batch: int, capacity: int,
                         dtype=jnp.float32) -> Params:
     assert block >= cfg.conv_delay
     st = fs_stream_init(cfg, batch, capacity, n_slots, dtype)
+    # blockwise mode keeps SHARED clocks (the K-query cache write is a
+    # contiguous dynamic slice at one position; all lanes advance together)
+    st["t"] = jnp.zeros((), jnp.int32)
+    st["emitted"] = jnp.zeros((), jnp.int32)
     st["h_prev"] = jnp.zeros((batch, block, cfg.n_units), dtype)
     st["h_tail2"] = jnp.zeros((batch, cfg.conv_delay, cfg.n_units), dtype)
     st["m"] = jnp.zeros((), jnp.int32)

@@ -91,10 +91,6 @@ class StreamingServer:
     def _block_impl(self, state, xs, flush):
         def body(carry, inp):
             x_t, fl = inp
-            if self.kind == "fs":
-                # FS caches are position-indexed by a shared counter; flush
-                # must be uniform across lanes (checked in process_block)
-                fl = fl[0]
             new_state, out = self._step_impl(carry, x_t, fl)
             return new_state, (out["logits"], out["valid"])
 
@@ -104,17 +100,14 @@ class StreamingServer:
 
     def process_block(self, frames: np.ndarray, flush=None):
         """frames: (n_lanes, K, in_size); flush: None, (K,) shared, or
-        (n_lanes, K) per-lane (LS only — lanes serve independent streams).
-        Returns (probs (n_lanes, K, n_slots-1), valid); valid is (K, n_lanes)
-        for LS (per-lane stream clocks), (K,) for FS."""
+        (n_lanes, K) per-lane — lanes serve independent streams (FS and LS
+        both carry per-lane stream clocks in this per-frame mode).
+        Returns (probs (n_lanes, K, n_slots-1), valid (K, n_lanes))."""
         K = frames.shape[1]
         flush = np.zeros((K,), bool) if flush is None else np.asarray(flush)
         if flush.ndim == 1:
             flush = np.broadcast_to(flush[:, None], (K, self.n_lanes))
         else:
-            if self.kind == "fs" and (flush != flush[:1]).any():
-                raise ValueError("per-lane flush is LS-only (FS caches share "
-                                 "one position counter)")
             flush = flush.T  # (n_lanes, K) -> scan-major (K, n_lanes)
         self.state, (probs, valid) = self._block(
             self.state, jnp.asarray(frames), jnp.asarray(flush))
@@ -141,10 +134,10 @@ class StreamingServer:
     def reset_lanes(self, lanes):
         """Reset the given lane indices to fresh-stream state.
 
-        Exact for LS: every per-lane tensor INCLUDING the lane's stream
-        clock `t` resets, so a reused lane reproduces a fresh server
-        bit-for-bit (tested). Approximate for FS (the KV-cache position
-        counter is shared) — prefer draining a full FS batch.
+        Exact for BOTH families: every per-lane tensor — KV caches /
+        retention states, conv rings, and the lane's stream clocks
+        (t/emitted) — resets, so a reused lane reproduces a fresh server
+        bit-for-bit (tested) while its neighbours continue untouched.
         """
         mask = np.zeros((self.n_lanes,), bool)
         mask[np.asarray(lanes)] = True

@@ -6,13 +6,16 @@ with a Python frame loop (LS-EEND/streaming_infer_dia.py:52-97); here a
 ContinuousBatcher multiplexes arbitrarily many streams over the fixed
 lanes of one compiled StreamingServer step:
 
-  * free lanes are assigned from the queue and RESET per lane (bit-exact
-    for LS — every per-lane tensor including the lane's stream clock `t`
-    resets, so a reused lane reproduces a fresh server);
+  * free lanes are assigned from the queue and RESET per lane (bit-exact,
+    both families — every per-lane tensor including the lane's stream
+    clocks resets, so a reused lane reproduces a fresh server);
   * each lane carries its own clock and flush schedule (per-lane `flush`
-    in ls_stream_step), so one lane can drain its look-ahead-conv tail
-    while its neighbours keep consuming audio;
+    in {ls,fs}_stream_step), so one lane can drain its look-ahead-conv
+    tail while its neighbours keep consuming audio;
   * idle lanes ride along as flush lanes (state frozen, outputs invalid).
+
+FS lanes additionally need `capacity >= T + conv_delay` for every stream
+(KV caches are preallocated per lane; checked at submit).
 
 Everything device-side stays a single static-shape compiled program —
 scheduling is pure numpy bookkeeping on (lanes, K) blocks.
@@ -40,7 +43,7 @@ class _Job:
 
 
 class ContinuousBatcher:
-    """Schedules streams over a StreamingServer(kind="ls").
+    """Schedules streams over a StreamingServer (LS or FS).
 
     submit() any number of (stream_id, feats) at any time; step() advances
     every lane by one K-frame block; run() drains queue + lanes and returns
@@ -48,9 +51,6 @@ class ContinuousBatcher:
     stream alone on a fresh server."""
 
     def __init__(self, server, block: int = 64):
-        if server.kind != "ls":
-            raise ValueError("continuous batching needs per-lane clocks "
-                             "(LS); FS KV caches share one position counter")
         self.srv = server
         self.K = int(block)
         self.in_size = server.cfg.in_size
@@ -59,7 +59,14 @@ class ContinuousBatcher:
         self.results: dict = {}
 
     def submit(self, sid, feats: np.ndarray) -> None:
-        self.queue.append(_Job(sid, np.asarray(feats, np.float32)))
+        feats = np.asarray(feats, np.float32)
+        if self.srv.kind == "fs":
+            need = len(feats) + self.srv.cfg.conv_delay
+            if need > self.srv.capacity:
+                raise ValueError(
+                    f"stream {sid!r} needs {need} KV slots > server "
+                    f"capacity {self.srv.capacity}")
+        self.queue.append(_Job(sid, feats))
 
     def _assign_free_lanes(self) -> None:
         newly = [ln for ln, job in enumerate(self.lanes)

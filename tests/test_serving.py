@@ -328,23 +328,43 @@ def test_raw_audio_pipeline_over_aot_artifact(rng, tmp_path):
     np.testing.assert_array_equal(p_live, p_aot)
 
 
-def test_per_lane_reset_is_bitexact(rng):
-    """reset_lanes mid-stream: the reused lane reproduces a FRESH server
-    bit-for-bit (per-lane stream clock + decoder-slot state reset) while its
-    neighbour continues uninterrupted; also covers reset-after-donated-step
-    (round-2 fix: _zero_state must not alias donated buffers)."""
-    params, mstate = ls_eend.init_ls_eend(jax.random.PRNGKey(0), CFG)
-    A = rng.standard_normal((2, 10, CFG.in_size)).astype(np.float32)
-    B = rng.standard_normal((2, 10, CFG.in_size)).astype(np.float32)
+def _make_server(kind, params, mstate, cfg, n_lanes=2):
+    return StreamingServer(kind=kind, cfg=cfg, params=params,
+                           model_state=mstate, n_lanes=n_lanes, n_slots=4,
+                           capacity=64)
 
-    srv = StreamingServer(kind="ls", cfg=CFG, params=params,
-                          model_state=mstate, n_lanes=2, n_slots=4)
+
+def _family(kind):
+    from fseend_tpu.models import fs_eend
+
+    if kind == "ls":
+        params, mstate = ls_eend.init_ls_eend(jax.random.PRNGKey(0), CFG)
+        return CFG, params, mstate
+    fcfg = fs_eend.FSEENDConfig(
+        in_size=CFG.in_size, n_units=32, n_heads=4, enc_n_layers=1,
+        dec_n_layers=1, enc_dim_feedforward=64, dec_dim_feedforward=64,
+        dropout=0.0, conv_delay=2, max_nspks=4)
+    params, mstate = fs_eend.init_fs_eend(jax.random.PRNGKey(0), fcfg)
+    return fcfg, params, mstate
+
+
+@pytest.mark.parametrize("kind", ["ls", "fs"])
+def test_per_lane_reset_is_bitexact(rng, kind):
+    """reset_lanes mid-stream: the reused lane reproduces a FRESH server
+    bit-for-bit (per-lane stream clocks + per-slot decoder state reset)
+    while its neighbour continues uninterrupted; also covers
+    reset-after-donated-step (round-2 fix: _zero_state must not alias
+    donated buffers)."""
+    cfg, params, mstate = _family(kind)
+    A = rng.standard_normal((2, 10, cfg.in_size)).astype(np.float32)
+    B = rng.standard_normal((2, 10, cfg.in_size)).astype(np.float32)
+
+    srv = _make_server(kind, params, mstate, cfg)
     srv.process_block(A)
     srv.reset_lanes([1])
     p, v = srv.process_block(B)
 
-    fresh = StreamingServer(kind="ls", cfg=CFG, params=params,
-                            model_state=mstate, n_lanes=2, n_slots=4)
+    fresh = _make_server(kind, params, mstate, cfg)
     pf, vf = fresh.process_block(B)
     np.testing.assert_array_equal(np.asarray(p[1]), np.asarray(pf[1]))
     np.testing.assert_array_equal(np.asarray(v)[:, 1], np.asarray(vf)[:, 1])
@@ -352,21 +372,23 @@ def test_per_lane_reset_is_bitexact(rng):
     assert np.abs(np.asarray(p[0]) - np.asarray(pf[0])).max() > 0
 
 
-def test_continuous_batcher_matches_isolated_streams(rng):
+@pytest.mark.parametrize("kind", ["ls", "fs"])
+def test_continuous_batcher_matches_isolated_streams(rng, kind):
     """Heterogeneous streams multiplexed over 2 lanes (arrivals mid-flight,
-    lane reuse, per-lane flush) == each stream served alone."""
+    lane reuse, per-lane flush) == each stream served alone == the model's
+    own fused scan."""
+    from fseend_tpu.models import fs_eend
     from fseend_tpu.serving.scheduler import ContinuousBatcher
 
-    params, mstate = ls_eend.init_ls_eend(jax.random.PRNGKey(0), CFG)
-    streams = {f"s{i}": rng.standard_normal((T, CFG.in_size)).astype(np.float32)
+    cfg, params, mstate = _family(kind)
+    streams = {f"s{i}": rng.standard_normal((T, cfg.in_size)).astype(np.float32)
                for i, T in enumerate([7, 23, 12, 5, 17])}
 
-    srv = StreamingServer(kind="ls", cfg=CFG, params=params,
-                          model_state=mstate, n_lanes=2, n_slots=4)
+    srv = _make_server(kind, params, mstate, cfg)
     cb = ContinuousBatcher(srv, block=6)
     cb.submit("s0", streams["s0"])
     cb.submit("s1", streams["s1"])
-    cb.step()                      # s0/s1 in flight...
+    cb.step()                       # s0/s1 in flight...
     cb.submit("s2", streams["s2"])  # ...late arrivals
     cb.submit("s3", streams["s3"])
     cb.submit("s4", streams["s4"])
@@ -374,8 +396,7 @@ def test_continuous_batcher_matches_isolated_streams(rng):
     assert set(got) == set(streams)
 
     for sid, feats in streams.items():
-        ref = StreamingServer(kind="ls", cfg=CFG, params=params,
-                              model_state=mstate, n_lanes=2, n_slots=4)
+        ref = _make_server(kind, params, mstate, cfg)
         alone = ContinuousBatcher(ref, block=6)
         alone.submit(sid, feats)
         ref_out = alone.run()[sid]
@@ -387,8 +408,13 @@ def test_continuous_batcher_matches_isolated_streams(rng):
 
     # and the scheduler's output equals the model's own fused scan
     sid, feats = "s1", streams["s1"]
-    st = ls_eend.ls_stream_init(CFG, 1, n_slots=4)
-    logits, _ = ls_eend.ls_stream_scan(params, st, CFG, mstate,
-                                       jnp.asarray(feats)[None], 4)
+    if kind == "ls":
+        st = ls_eend.ls_stream_init(cfg, 1, n_slots=4)
+        logits, _ = ls_eend.ls_stream_scan(params, st, cfg, mstate,
+                                           jnp.asarray(feats)[None], 4)
+    else:
+        st = fs_eend.fs_stream_init(cfg, 1, len(feats) + cfg.conv_delay, 4)
+        logits, _ = fs_eend.fs_stream_scan(params, st, cfg, mstate["bn"],
+                                           jnp.asarray(feats)[None], 4)
     ref_probs = np.asarray(jax.nn.sigmoid(logits[..., 1:]))[0]
     np.testing.assert_allclose(got[sid], ref_probs, atol=1e-5)
