@@ -308,7 +308,11 @@ def fs_stream_step(params: Params, state: Params, cfg: FSEENDConfig, bn_state,
     attractors = nn.l2_normalize(x)
     logits = jnp.einsum("bd,bcd->bc", emb, attractors, preferred_element_type=jnp.float32)
     new_state = {
-        "t": jnp.where(flush, t, t + 1),
+        # steps taken, real + flush: a flush step still slides the conv
+        # window, so `valid` keeps advancing (streams shorter than
+        # conv_delay emit entirely during flush). Encoder cache writes at
+        # flush positions are gated out above, so t only CLOCKS them.
+        "t": t + 1,
         "emitted": jnp.where(valid, u + 1, u),
         "enc_kv": new_enc_kv,
         "conv_buf": conv_buf,

@@ -435,8 +435,11 @@ def ls_stream_step(params: Params, state: Params, cfg: LSEENDConfig, model_state
     attractors = nn.l2_normalize(x)
     logits = jnp.einsum("bd,bcd->bc", emb, attractors, preferred_element_type=jnp.float32)
     sd = state["cnn_buf"].dtype
+    # the clock counts STEPS (real + flush): a flush step still slides the
+    # conv window, so `valid` must keep advancing or a stream shorter than
+    # conv_delay would never emit (its outputs all surface during flush)
     new_state = {
-        "t": jnp.where(flush, t, t + 1),
+        "t": t + 1,
         "enc": new_enc,
         "cnn_buf": cnn_buf.astype(sd),
         "dec": new_dec,

@@ -110,7 +110,9 @@ class ContinuousBatcher:
                 job.chunks.append(out)
                 job.got += len(out)
             if job.got >= job.T:
-                self.results[job.sid] = np.concatenate(job.chunks, axis=0)
+                self.results[job.sid] = (
+                    np.concatenate(job.chunks, axis=0) if job.chunks else
+                    np.zeros((0, probs.shape[-1]), np.float32))
                 self.lanes[ln] = None
 
     def run(self) -> dict:

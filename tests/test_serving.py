@@ -418,3 +418,30 @@ def test_continuous_batcher_matches_isolated_streams(rng, kind):
                                            jnp.asarray(feats)[None], 4)
     ref_probs = np.asarray(jax.nn.sigmoid(logits[..., 1:]))[0]
     np.testing.assert_allclose(got[sid], ref_probs, atol=1e-5)
+
+
+@pytest.mark.parametrize("kind", ["ls", "fs"])
+def test_continuous_batcher_short_and_empty_streams(rng, kind):
+    """Streams shorter than conv_delay emit entirely during flush (the
+    stream clock counts steps, not real frames — a frozen clock would hang
+    the scheduler); zero-length streams complete with an empty result."""
+    from fseend_tpu.models import fs_eend
+    from fseend_tpu.serving.scheduler import ContinuousBatcher
+
+    cfg, params, mstate = _family(kind)
+    short = rng.standard_normal((2, cfg.in_size)).astype(np.float32)
+    cb = ContinuousBatcher(_make_server(kind, params, mstate, cfg), block=6)
+    cb.submit("empty", np.zeros((0, cfg.in_size), np.float32))
+    cb.submit("short", short)
+    got = cb.run()
+    assert got["empty"].shape == (0, 3)
+    if kind == "ls":
+        st = ls_eend.ls_stream_init(cfg, 1, n_slots=4)
+        logits, _ = ls_eend.ls_stream_scan(params, st, cfg, mstate,
+                                           jnp.asarray(short)[None], 4)
+    else:
+        st = fs_eend.fs_stream_init(cfg, 1, 2 + cfg.conv_delay, 4)
+        logits, _ = fs_eend.fs_stream_scan(params, st, cfg, mstate["bn"],
+                                           jnp.asarray(short)[None], 4)
+    ref = np.asarray(jax.nn.sigmoid(logits[..., 1:]))[0]
+    np.testing.assert_allclose(got["short"], ref, atol=1e-5)
