@@ -117,50 +117,51 @@ def main():
     params, mstate = cast(params), cast(mstate)
 
     if not os.environ.get("BENCH_NO_SERVE"):
-        # --- mode 1: per-frame recurrent scan (fast compile ~2 min) ---
-        block = int(os.environ.get("BENCH_BLOCK", "500"))
-        n_rep = int(os.environ.get("BENCH_BLOCKS", "10"))
-        server = StreamingServer(kind="ls", cfg=cfg, params=params,
-                                 model_state=mstate, n_lanes=lanes,
-                                 n_slots=cfg.max_nspks, dtype=dt)
-        xs = jax.device_put(
-            jnp.asarray(rng.standard_normal((lanes, block, cfg.in_size)), dt))
-        p, _ = server.process_block(xs)
-        jax.block_until_ready(p)
-        t0 = time.perf_counter()
-        for _ in range(n_rep):
+        if not os.environ.get("BENCH_SKIP_PERFRAME"):
+            # --- mode 1: per-frame recurrent scan (fast compile ~2 min) ---
+            block = int(os.environ.get("BENCH_BLOCK", "500"))
+            n_rep = int(os.environ.get("BENCH_BLOCKS", "10"))
+            server = StreamingServer(kind="ls", cfg=cfg, params=params,
+                                     model_state=mstate, n_lanes=lanes,
+                                     n_slots=cfg.max_nspks, dtype=dt)
+            xs = jax.device_put(
+                jnp.asarray(rng.standard_normal((lanes, block, cfg.in_size)), dt))
             p, _ = server.process_block(xs)
-        jax.block_until_ready(p)
-        el1 = time.perf_counter() - t0
-        fps1 = lanes * block * n_rep / el1
-        _record(fps1, f"per-frame recurrent scan (lanes={lanes}, "
-                      f"{fps1 / lanes / 10:.0f}x realtime/lane)")
-        # On-device frame-step latency: the sustained rate amortizes dispatch
-        # over block*n_rep queued steps, so elapsed/steps IS device time per
-        # frame-step (one step advances all `lanes` streams one frame).
-        dev_ms = el1 / (block * n_rep) * 1e3
-        print(f"[bench] on-device p50 frame-step latency: {dev_ms:.3f} ms "
-              f"({lanes} lanes/step)", file=sys.stderr, flush=True)
-        _RESULT["ondevice_frame_ms"] = round(dev_ms, 3)
+            jax.block_until_ready(p)
+            t0 = time.perf_counter()
+            for _ in range(n_rep):
+                p, _ = server.process_block(xs)
+            jax.block_until_ready(p)
+            el1 = time.perf_counter() - t0
+            fps1 = lanes * block * n_rep / el1
+            _record(fps1, f"per-frame recurrent scan (lanes={lanes}, "
+                          f"{fps1 / lanes / 10:.0f}x realtime/lane)")
+            # On-device frame-step latency: the sustained rate amortizes dispatch
+            # over block*n_rep queued steps, so elapsed/steps IS device time per
+            # frame-step (one step advances all `lanes` streams one frame).
+            dev_ms = el1 / (block * n_rep) * 1e3
+            print(f"[bench] on-device p50 frame-step latency: {dev_ms:.3f} ms "
+                  f"({lanes} lanes/step)", file=sys.stderr, flush=True)
+            _RESULT["ondevice_frame_ms"] = round(dev_ms, 3)
 
-        # wall p50 of a single un-pipelined dispatch (relay overhead incl.)
-        x1 = xs[:, :1]
-        p, _ = server.process_block(x1)
-        jax.block_until_ready(p)
-        lat = []
-        for _ in range(30):
-            t = time.perf_counter()
+            # wall p50 of a single un-pipelined dispatch (relay overhead incl.)
+            x1 = xs[:, :1]
             p, _ = server.process_block(x1)
             jax.block_until_ready(p)
-            lat.append((time.perf_counter() - t) * 1e3)
-        print(f"[bench] p50 single-frame wall latency: "
-              f"{np.percentile(lat, 50):.2f} ms "
-              f"(relay-dispatch bound; device time above)", file=sys.stderr,
-              flush=True)
+            lat = []
+            for _ in range(30):
+                t = time.perf_counter()
+                p, _ = server.process_block(x1)
+                jax.block_until_ready(p)
+                lat.append((time.perf_counter() - t) * 1e3)
+            print(f"[bench] p50 single-frame wall latency: "
+                  f"{np.percentile(lat, 50):.2f} ms "
+                  f"(relay-dispatch bound; device time above)", file=sys.stderr,
+                  flush=True)
 
-        if os.environ.get("BENCH_FAST"):
-            print(json.dumps(_RESULT))
-            return
+            if os.environ.get("BENCH_FAST"):
+                print(json.dumps(_RESULT))
+                return
 
         # --- mode 2: blockwise-recurrent (chunkwise-exact; K/10Hz latency),
         # XLA vs the fused Pallas carried-state retention kernel ---

@@ -66,7 +66,8 @@ def main():
                 [int(x) for x in args.lanes.split(",")],
                 [int(x) for x in args.blocks.split(",")]):
             over = {"BENCH_LANES": lanes, "BENCH_BLOCKWISE_K": K,
-                    "BENCH_NO_TRAIN": "1", "BENCH_BLOCKS": "3"}
+                    "BENCH_NO_TRAIN": "1", "BENCH_SKIP_PERFRAME": "1",
+                    "BENCH_NO_PALLAS": "1"}
             rec = run_bench(over)
             runs.append(rec)
             print(json.dumps(rec, indent=None), flush=True)
