@@ -85,6 +85,18 @@ def _emit(*_args):
     os._exit(0)
 
 
+
+def _sync(x):
+    """Honest barrier: read one element of the output back to the host.
+    jax.block_until_ready over the axon relay has been observed to return
+    BEFORE the computation finished (chained steps "completing" 30x faster
+    than a single step), which silently inflates throughput; a value
+    readback cannot lie — the element's bytes must exist."""
+    arr = x
+    while isinstance(arr, (tuple, list, dict)):
+        arr = jax.tree.leaves(arr)[0]
+    return np.asarray(arr).ravel()[:1]
+
 def _record(fps: float, note: str):
     if not _RESULT or fps > _RESULT.get("value", 0):
         _RESULT.update({
@@ -127,11 +139,11 @@ def main():
             xs = jax.device_put(
                 jnp.asarray(rng.standard_normal((lanes, block, cfg.in_size)), dt))
             p, _ = server.process_block(xs)
-            jax.block_until_ready(p)
+            _sync(p)
             t0 = time.perf_counter()
             for _ in range(n_rep):
                 p, _ = server.process_block(xs)
-            jax.block_until_ready(p)
+            _sync(p)
             el1 = time.perf_counter() - t0
             fps1 = lanes * block * n_rep / el1
             _record(fps1, f"per-frame recurrent scan (lanes={lanes}, "
@@ -147,12 +159,12 @@ def main():
             # wall p50 of a single un-pipelined dispatch (relay overhead incl.)
             x1 = xs[:, :1]
             p, _ = server.process_block(x1)
-            jax.block_until_ready(p)
+            _sync(p)
             lat = []
             for _ in range(30):
                 t = time.perf_counter()
                 p, _ = server.process_block(x1)
-                jax.block_until_ready(p)
+                _sync(p)
                 lat.append((time.perf_counter() - t) * 1e3)
             print(f"[bench] p50 single-frame wall latency: "
                   f"{np.percentile(lat, 50):.2f} ms "
@@ -167,7 +179,11 @@ def main():
         # XLA vs the fused Pallas carried-state retention kernel ---
         import dataclasses
 
-        K = int(os.environ.get("BENCH_BLOCKWISE_K", "100"))
+        # default 128: measured sweep (tools/sweep_serving.py) — K=128 rides
+        # the 128x128 MXU tile exactly (403k f/s, 18.2% MFU vs 336k, 15.0%
+        # at the reference-protocol K=100; K=256 adds intra-chunk quadratic
+        # work, more lanes add working set for no win)
+        K = int(os.environ.get("BENCH_BLOCKWISE_K", "128"))
         xsb = jax.device_put(
             jnp.asarray(rng.standard_normal((lanes, K, cfg.in_size)), dt))
         mfu2 = None
@@ -183,12 +199,12 @@ def main():
                 donate_argnums=(0,))
             flops_blk = compiled_flops(step, st, xsb)
             st, y = step(st, xsb)
-            jax.block_until_ready(y)
+            _sync(y)
             n2 = 20
             t0 = time.perf_counter()
             for _ in range(n2):
                 st, y = step(st, xsb)
-            jax.block_until_ready(y)
+            _sync(y)
             el2 = time.perf_counter() - t0
             fps2 = lanes * K * n2 / el2
             _record(fps2, f"blockwise-recurrent K={K} [{variant}] "
@@ -230,12 +246,12 @@ def main():
         key = jax.random.PRNGKey(1)
         flops_tr = compiled_flops(tstep, state, batch, key)
         state, met = tstep(state, batch, key)
-        jax.block_until_ready(met["tot_loss"])
+        _sync(met["tot_loss"])
         n3 = int(os.environ.get("BENCH_TRAIN_STEPS", "10"))
         t0 = time.perf_counter()
         for _ in range(n3):
             state, met = tstep(state, batch, key)
-        jax.block_until_ready(met["tot_loss"])
+        _sync(met["tot_loss"])
         el3 = time.perf_counter() - t0
         fps3 = B * T * n3 / el3
         mfu3 = _mfu(flops_tr, n3, el3)
