@@ -95,7 +95,9 @@ def _sync(x):
     arr = x
     while isinstance(arr, (tuple, list, dict)):
         arr = jax.tree.leaves(arr)[0]
-    return np.asarray(arr).ravel()[:1]
+    # index ON DEVICE first so only one element crosses the relay — a full
+    # np.asarray would add the bulk-transfer time to the timed region
+    return np.asarray(jnp.ravel(arr)[0])
 
 def _record(fps: float, note: str):
     if not _RESULT or fps > _RESULT.get("value", 0):
@@ -186,7 +188,7 @@ def main():
         K = int(os.environ.get("BENCH_BLOCKWISE_K", "128"))
         xsb = jax.device_put(
             jnp.asarray(rng.standard_normal((lanes, K, cfg.in_size)), dt))
-        mfu2 = None
+        best2 = (0.0, None)  # (fps, mfu) of the fastest blockwise variant
         for variant, vcfg in (
                 ("xla", cfg),
                 ("pallas", dataclasses.replace(cfg, use_pallas=True))):
@@ -210,15 +212,15 @@ def main():
             _record(fps2, f"blockwise-recurrent K={K} [{variant}] "
                           f"({fps2 / lanes / 10:.0f}x realtime/lane)")
             m = _mfu(flops_blk, n2, el2)
-            if m is not None and (mfu2 is None or fps2 >= _RESULT["value"]):
-                mfu2 = m
+            if fps2 > best2[0]:
+                best2 = (fps2, m)
             if m is not None:
                 print(f"[bench] serving MFU [{variant}] (XLA-counted "
                       f"{flops_blk / 1e9:.2f} GFLOP/call): {100 * m:.2f}% of "
                       f"{device_peak_flops() / 1e12:.0f} TFLOP/s",
                       file=sys.stderr, flush=True)
-        if mfu2 is not None:
-            _RESULT["mfu_serving"] = round(mfu2, 5)
+        if best2[1] is not None:
+            _RESULT["mfu_serving"] = round(best2[1], 5)
 
     # --- mode 3: training step throughput + MFU (production LS, fwd+bwd) ---
     if not os.environ.get("BENCH_NO_TRAIN"):

@@ -75,11 +75,14 @@ def main():
 
     os.makedirs(args.out_dir, exist_ok=True)
     for rec, probs in results.items():
+        out_path = os.path.join(args.out_dir, rec + ".rttm")
+        if os.path.exists(out_path):   # make_rttm appends; re-runs must not
+            os.unlink(out_path)        # duplicate every segment
         make_rttm(rec, np.asarray(probs),
                   frame_shift=data["feat"]["hop_length"],
                   subsampling=data["subsampling"],
                   sampling_rate=data["feat"]["sample_rate"],
-                  out_rttm_file=os.path.join(args.out_dir, rec + ".rttm"))
+                  out_rttm_file=out_path)
     print(f"served {len(wavs)} recordings ({total_frames} frames) over "
           f"{args.lanes} lanes in {dt:.2f}s "
           f"({total_frames / dt:.0f} frames/s) -> {args.out_dir}")

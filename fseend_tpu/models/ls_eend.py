@@ -482,7 +482,10 @@ def ls_stream_scan(params: Params, state: Params, cfg: LSEENDConfig, model_state
 
 
 def _block_ret_cfg(cfg: LSEENDConfig, K: int) -> R.RetentionConfig:
-    return R.RetentionConfig(cfg.n_units, cfg.n_heads, 1, K)
+    # propagate use_pallas so the carried-state kernel actually serves
+    # blockwise traffic when model.params.use_pallas is set
+    return R.RetentionConfig(cfg.n_units, cfg.n_heads, 1, K,
+                             use_pallas=cfg.use_pallas)
 
 
 def ls_blockstream_init(cfg: LSEENDConfig, batch: int, n_slots: int | None = None,
@@ -505,7 +508,10 @@ def ls_blockstream_init(cfg: LSEENDConfig, batch: int, n_slots: int | None = Non
         ],
         "h_prev": jnp.zeros((batch, block, cfg.n_units), dtype),
         "h_tail2": jnp.zeros((batch, cfg.conv_delay, cfg.n_units), dtype),
-        "m": jnp.zeros((), jnp.int32),  # blocks consumed
+        # PER-LANE block counter: the m==0 gate keeps the warm-up block's
+        # garbage emission out of the decoder retention state; per-lane so
+        # a reset lane is re-gated (exact lane reuse) while others continue
+        "m": jnp.zeros((batch,), jnp.int32),
         "dec": [R.chunk_state_init(rc, batch * C, dtype)
                 for _ in range(cfg.dec_n_layers)],
     }
@@ -578,14 +584,18 @@ def ls_blockstream_step(params: Params, state: Params, cfg: LSEENDConfig,
         [jnp.broadcast_to(emb[:, :, None, :], (B, K, n_slots, cfg.n_units)),
          jnp.broadcast_to(pe[None, None], (B, K, n_slots, cfg.n_units))], axis=-1)
     x = nn.linear(params["dec"]["convert"], x)  # (B, K, C, D)
-    first = state["m"] == 0
+    first = state["m"] == 0                    # (B,) per-lane warm-up gate
+    first_slots = jnp.repeat(first, n_slots)   # decoder states are (B*C, ...)
     new_dec = []
     for lp, st in zip(params["dec"]["layers"], state["dec"]):
         xt = x.swapaxes(1, 2).reshape(B * n_slots, K, cfg.n_units)
         a, ret_state = R.retention_chunkwise_stateful(lp["time_ret"], xt, st, rc)
         # block 0's emission is garbage; don't let it pollute decoder state
-        ret_state = jax.tree.map(lambda new, old: jnp.where(first, old, new),
-                                 ret_state, st)
+        ret_state = jax.tree.map(
+            lambda new, old: jnp.where(
+                first_slots.reshape(first_slots.shape + (1,) * (new.ndim - 1)),
+                old, new),
+            ret_state, st)
         xt = nn.layer_norm(lp["norm11"], xt + a)
         x = xt.reshape(B, n_slots, K, cfg.n_units).swapaxes(1, 2)
         s = nn.mha(lp["spk_attn"], x, x, x, None)

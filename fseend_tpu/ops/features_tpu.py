@@ -132,10 +132,6 @@ class StreamingLogmel:
         self.window = jnp.asarray(F._stft_window(frame_size, self.n_fft),
                                   jnp.float32)
         self.mel = jnp.asarray(F.mel_filterbank(sr, self.n_fft, n_mels))
-        p = self.n_fft // 2
-        # steady-state carried-tail length (constant once S % shift == 0)
-        self.tail_len = ((p - self.n_fft) % frame_shift
-                         + self.n_fft - frame_shift)
         self.reset()
         self._step = jax.jit(self._step_impl,
                              static_argnames=("n_frames", "out_take"))

@@ -208,7 +208,8 @@ def retention_chunkwise_stateful(p: Params, x: jnp.ndarray, state: Params | None
 
         out = chunkwise_retention(
             q.reshape(B * H, T, dk), k.reshape(B * H, T, dk),
-            v.reshape(B * H, T, dv), L).reshape(B, H, T, dv)
+            v.reshape(B * H, T, dv), L,
+            interpret=jax.default_backend() != "tpu").reshape(B, H, T, dv)
         # the differentiable (custom-VJP) γ=1 training kernel; state unused
         return _finish(p, out, g, cfg), None
     if cfg.use_pallas:
@@ -227,7 +228,8 @@ def retention_chunkwise_stateful(p: Params, x: jnp.ndarray, state: Params | None
             s0 = state["scale"].reshape(B * H, 1, 1)
         out, kv_f, s_f = chunkwise_retention_stateful(
             gam, q.reshape(B * H, T, dk), k.reshape(B * H, T, dk),
-            v.reshape(B * H, T, dv), kv0, s0, L)
+            v.reshape(B * H, T, dv), kv0, s0, L,
+            interpret=jax.default_backend() != "tpu")
         new_state = {"kv": kv_f.reshape(B, H, dk, dv),
                      "scale": s_f.reshape(B, H, 1, 1)}
         return _finish(p, out.reshape(B, H, T, dv), g, cfg), new_state

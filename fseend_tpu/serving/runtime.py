@@ -223,7 +223,9 @@ class BlockStreamingServer:
         return probs
 
     def blocks_consumed(self) -> int:
-        return int(self.state["m"])
+        # LS carries a per-lane block counter (lane reuse re-gates the
+        # warm-up block); FS blockwise keeps a shared scalar
+        return int(np.max(np.asarray(self.state["m"])))
 
     def reset_all(self):
         """Fresh state for every lane (FS caches are position-dependent, so
@@ -258,7 +260,10 @@ class BlockStreamingServer:
 
         st = dict(self.state)
         st["enc"] = jax.tree.map(reset_leaf, self.state["enc"], zero["enc"])
-        for k in ("h_prev", "h_tail2"):
+        for k in ("h_prev", "h_tail2", "m"):
+            # m is per-lane: the reset lane's next block is re-gated as its
+            # warm-up block, keeping the garbage emission out of its decoder
+            # retention state (exact lane reuse)
             st[k] = reset_leaf(self.state[k], zero[k])
         st["dec"] = jax.tree.map(reset_dec_leaf, self.state["dec"], zero["dec"])
         self.state = st

@@ -59,6 +59,10 @@ class ContinuousBatcher:
         self.results: dict = {}
 
     def submit(self, sid, feats: np.ndarray) -> None:
+        if (sid in self.results or any(j.sid == sid for j in self.queue)
+                or any(j is not None and j.sid == sid for j in self.lanes)):
+            raise ValueError(f"duplicate stream id {sid!r} (a same-named "
+                             f"stream is queued, in flight, or finished)")
         feats = np.asarray(feats, np.float32)
         if self.srv.kind == "fs":
             need = len(feats) + self.srv.cfg.conv_delay

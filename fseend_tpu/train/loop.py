@@ -126,8 +126,10 @@ def run_training(
         from fseend_tpu.parallel import mesh as pmesh
 
         sharded_params = pmesh.shard_params(state.params, mesh)
-        fresh_opt = jax.jit(tx.init)(sharded_params)
-        opt_shardings = jax.tree.map(lambda x: x.sharding, fresh_opt)
+        # compile-only shardings query: executing tx.init here would briefly
+        # allocate a full throwaway copy of the Adam moments (~2x params)
+        opt_shardings = jax.jit(tx.init).lower(sharded_params).compile() \
+                           .output_shardings
         repl = pmesh.replicated(mesh)
         state = trainer_lib.TrainState(
             params=sharded_params,

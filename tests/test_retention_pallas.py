@@ -25,31 +25,16 @@ def test_kernel_matches_pure_core(rng):
 
 
 def test_kernel_matches_op_level_chunkwise(rng):
-    """ops.retention_chunkwise(use_pallas) == reference-faithful pure path."""
+    """ops.retention_chunkwise(use_pallas) == reference-faithful pure path
+    (the op auto-selects interpret mode off-TPU)."""
     cfg = R.RetentionConfig(embed_dim=32, num_heads=4, chunk_size=8)
     cfg_pk = R.RetentionConfig(embed_dim=32, num_heads=4, chunk_size=8,
                                use_pallas=True)
     p = R.init_retention(jax.random.PRNGKey(0), cfg)
     x = jnp.asarray(rng.uniform(0, 1, (2, 24, 32)), jnp.float32)
     y_ref = R.retention_chunkwise(p, x, cfg)
-    import unittest.mock as mock
-
-    orig = KP._forward
-    with mock.patch.object(KP, "_forward",
-                           lambda q, k, v, c, i=False: orig(q, k, v, c, True)):
-        y_pal = R.retention_chunkwise(p, x, cfg_pk)
+    y_pal = R.retention_chunkwise(p, x, cfg_pk)
     np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref), atol=1e-5)
-
-
-def _patched_stateful():
-    """Route the op-level kernel call through interpret mode (CPU tests)."""
-    import unittest.mock as mock
-
-    orig = KP._forward_stateful
-    return mock.patch.object(
-        KP, "chunkwise_retention_stateful",
-        lambda g, q, k, v, kv0, s0, c, i=False: orig(g, q, k, v, kv0, s0, c,
-                                                     True))
 
 
 @pytest.mark.parametrize("use_decay", [False, True])
@@ -65,8 +50,7 @@ def test_stateful_kernel_matches_pure(rng, use_decay):
     # build a genuine mid-stream state by running the first 24 frames pure
     _, st = R.retention_chunkwise_stateful(p, x[:, :24], None, cfg)
     y_ref, st_ref = R.retention_chunkwise_stateful(p, x[:, 24:], st, cfg)
-    with _patched_stateful():
-        y_pal, st_pal = R.retention_chunkwise_stateful(p, x[:, 24:], st, cfg_pk)
+    y_pal, st_pal = R.retention_chunkwise_stateful(p, x[:, 24:], st, cfg_pk)
     np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref), atol=2e-5)
     np.testing.assert_allclose(np.asarray(st_pal["kv"]), np.asarray(st_ref["kv"]),
                                atol=2e-5)
@@ -81,10 +65,9 @@ def test_stateful_kernel_blockwise_equals_one_shot(rng):
                                use_pallas=True)
     p = R.init_retention(jax.random.PRNGKey(0), cfg_pk)
     x = jnp.asarray(rng.uniform(0, 1, (2, 32, 32)), jnp.float32)
-    with _patched_stateful():
-        st0 = R.chunk_state_init(cfg_pk, 2)
-        y1, st1 = R.retention_chunkwise_stateful(p, x[:, :16], st0, cfg_pk)
-        y2, _ = R.retention_chunkwise_stateful(p, x[:, 16:], st1, cfg_pk)
+    st0 = R.chunk_state_init(cfg_pk, 2)
+    y1, st1 = R.retention_chunkwise_stateful(p, x[:, :16], st0, cfg_pk)
+    y2, _ = R.retention_chunkwise_stateful(p, x[:, 16:], st1, cfg_pk)
     y_full = R.retention_chunkwise(p, x, R.RetentionConfig(
         embed_dim=32, num_heads=4, chunk_size=8))
     got = jnp.concatenate([y1, y2], axis=1)

@@ -445,3 +445,54 @@ def test_continuous_batcher_short_and_empty_streams(rng, kind):
                                            jnp.asarray(short)[None], 4)
     ref = np.asarray(jax.nn.sigmoid(logits[..., 1:]))[0]
     np.testing.assert_allclose(got["short"], ref, atol=1e-5)
+
+
+def test_block_server_per_lane_reset_exact(rng):
+    """BlockStreamingServer (LS) lane reuse: per-lane block counter re-gates
+    the reused lane's warm-up block, so it reproduces a fresh server exactly
+    (the shared-m bug let warm-up garbage pollute decoder retention state,
+    |dp| up to 2.3e-3)."""
+    import dataclasses
+
+    from fseend_tpu.serving.runtime import BlockStreamingServer
+
+    cfgK = dataclasses.replace(CFG, chunk_size=6, dropout=0.0)
+    params, mstate = ls_eend.init_ls_eend(jax.random.PRNGKey(0), cfgK)
+    A = rng.standard_normal((2, 12, CFG.in_size)).astype(np.float32)
+    B = rng.standard_normal((2, 12, CFG.in_size)).astype(np.float32)
+
+    srv = BlockStreamingServer(cfg=cfgK, params=params, model_state=mstate,
+                               n_lanes=2, n_slots=4, block=6)
+    srv.process_block(A[:, :6])
+    srv.process_block(A[:, 6:])
+    srv.reset_lanes([1])
+    outs = [np.asarray(srv.process_block(B[:, :6]))[1],
+            np.asarray(srv.process_block(B[:, 6:]))[1]]
+
+    fresh = BlockStreamingServer(cfg=cfgK, params=params, model_state=mstate,
+                                 n_lanes=2, n_slots=4, block=6)
+    ref = [np.asarray(fresh.process_block(B[:, :6]))[1],
+           np.asarray(fresh.process_block(B[:, 6:]))[1]]
+    np.testing.assert_array_equal(outs[1], ref[1])
+
+
+def test_blockstream_pallas_flag_reaches_kernel(rng):
+    """use_pallas propagates into the blockwise serving path (the round-2
+    review found _block_ret_cfg silently dropped it — bench's xla-vs-pallas
+    comparison was XLA against itself) and the kernel output matches XLA."""
+    import dataclasses
+
+    from fseend_tpu.models.ls_eend import _block_ret_cfg
+
+    cfgP = dataclasses.replace(CFG, chunk_size=8, dropout=0.0, use_pallas=True)
+    assert _block_ret_cfg(cfgP, 8).use_pallas
+    params, mstate = ls_eend.init_ls_eend(jax.random.PRNGKey(0), cfgP)
+    xs = rng.standard_normal((1, 8, CFG.in_size)).astype(np.float32)
+    st_p = ls_eend.ls_blockstream_init(cfgP, 1, 4, 8)
+    _, lg_p = ls_eend.ls_blockstream_step(params, st_p, cfgP, mstate,
+                                          jnp.asarray(xs), 4)
+    cfgX = dataclasses.replace(cfgP, use_pallas=False)
+    st_x = ls_eend.ls_blockstream_init(cfgX, 1, 4, 8)
+    _, lg_x = ls_eend.ls_blockstream_step(params, st_x, cfgX, mstate,
+                                          jnp.asarray(xs), 4)
+    np.testing.assert_allclose(np.asarray(lg_p), np.asarray(lg_x), atol=1e-5)
