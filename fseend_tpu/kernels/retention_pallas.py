@@ -50,7 +50,9 @@ def _kernel(gamma_ref, q_ref, k_ref, v_ref, kv0_ref, s0_ref,
         kv_state[...] = kv0_ref[0].astype(jnp.float32)
         kv_scale[...] = s0_ref[0].astype(jnp.float32)
 
-    g = gamma_ref[0, 0]
+    g = gamma_ref[0, 0, 0]
+    lg = jnp.log(g)   # Mosaic cannot legalize math.powf; γ^x == exp(x·logγ)
+                      # (exact for the reference's γ=1: log 1 = 0 → exp 0 = 1)
     q = q_ref[0, 0]  # (L, dk)
     k = k_ref[0, 0]  # (L, dk)
     v = v_ref[0, 0]  # (L, dv)
@@ -59,7 +61,7 @@ def _kernel(gamma_ref, q_ref, k_ref, v_ref, kv0_ref, s0_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
     tri = col <= row
     delta = jnp.where(tri, (row - col).astype(jnp.float32), 0.0)
-    decay = jnp.where(tri, jnp.power(g, delta), 0.0)          # (L, L)
+    decay = jnp.where(tri, jnp.exp(lg * delta), 0.0)          # (L, L)
     scale_vec = jnp.sqrt(decay.sum(axis=-1, keepdims=True))   # (L, 1)
     mask = decay / scale_vec
 
@@ -71,7 +73,7 @@ def _kernel(gamma_ref, q_ref, k_ref, v_ref, kv0_ref, s0_ref,
     # inner_decay[i] = γ^(i+1) * scale_vec[L-1] / scale_vec[i]
     ii = row[:, :1].astype(jnp.float32)                       # (L, 1) = i
     scale_last = jnp.sqrt(decay[-1:, :].sum(axis=-1, keepdims=True))
-    inner_decay = jnp.power(g, ii + 1.0) * scale_last / scale_vec
+    inner_decay = jnp.exp(lg * (ii + 1.0)) * scale_last / scale_vec
     cross_scale = kv_scale[0, 0]
     cross = jnp.dot(q * inner_decay, kv_state[...],
                     preferred_element_type=jnp.float32) / cross_scale
@@ -81,10 +83,10 @@ def _kernel(gamma_ref, q_ref, k_ref, v_ref, kv0_ref, s0_ref,
                    + cross * (cross_scale / all_scale)).astype(o_ref.dtype)
 
     # state update: kv = kv * γ^L + k^T (v * last_mask_row)
-    last_row = (jnp.power(g, (L - 1 - col[:1, :]).astype(jnp.float32))
+    last_row = (jnp.exp(lg * (L - 1 - col[:1, :]).astype(jnp.float32))
                 / scale_last)                                  # (1, L)
     kv_c = jnp.dot(k.T, v * last_row.T, preferred_element_type=jnp.float32)
-    new_state = kv_state[...] * jnp.power(g, float(L)) + kv_c
+    new_state = kv_state[...] * jnp.exp(lg * float(L)) + kv_c
     kv_state[...] = new_state
     kv_scale[...] = jnp.clip(
         jnp.abs(new_state).sum(axis=0, keepdims=True).max(axis=1, keepdims=True),
@@ -109,13 +111,18 @@ def _forward_stateful(gammas, q, k, v, kv0, s0, chunk: int,
     q4 = q.reshape(BH, N, chunk, dk)
     k4 = k.reshape(BH, N, chunk, dk)
     v4 = v.reshape(BH, N, chunk, dv)
-    g2 = gammas.reshape(BH, 1).astype(jnp.float32)
+    g2 = gammas.reshape(BH, 1, 1).astype(jnp.float32)
     grid = (BH, N)
     out, kv_f, s_f = pl.pallas_call(
         functools.partial(_kernel, L=chunk, N=N),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b, n: (b, 0)),
+            # per-(batch,head) γ as (BH, 1, 1): a (1, 1, 1) block's
+            # LAST TWO dims equal the array's trailing (1, 1), which is the
+            # form Mosaic's tiling rule accepts (a (1, 1) block over a 2-D
+            # (BH, 1) array fails on real TPU, and a full-array SMEM block
+            # blows the 1 MB SMEM budget at decoder scale BH = B·C·H).
+            pl.BlockSpec((1, 1, 1), lambda b, n: (b, 0, 0)),
             pl.BlockSpec((1, 1, chunk, dk), lambda b, n: (b, n, 0, 0)),
             pl.BlockSpec((1, 1, chunk, dk), lambda b, n: (b, n, 0, 0)),
             pl.BlockSpec((1, 1, chunk, dv), lambda b, n: (b, n, 0, 0)),
