@@ -496,3 +496,34 @@ def test_blockstream_pallas_flag_reaches_kernel(rng):
     _, lg_x = ls_eend.ls_blockstream_step(params, st_x, cfgX, mstate,
                                           jnp.asarray(xs), 4)
     np.testing.assert_allclose(np.asarray(lg_p), np.asarray(lg_x), atol=1e-5)
+
+
+def test_aot_export_fs_and_duplicate_sid(rng, tmp_path):
+    """FS servers freeze/load too; ContinuousBatcher rejects duplicate
+    stream ids instead of silently dropping a result."""
+    from fseend_tpu.serving.aot import AotBlockServer, save_server
+    from fseend_tpu.serving.runtime import BlockStreamingServer
+    from fseend_tpu.serving.scheduler import ContinuousBatcher
+
+    cfg, params, mstate = _family("fs")
+    live = BlockStreamingServer(cfg=cfg, params=params, model_state=mstate,
+                                n_lanes=1, n_slots=4, block=6, kind="fs",
+                                capacity=32)
+    path = str(tmp_path / "fs_srv.npz")
+    save_server(live, path)
+    live.reset_all()
+    aot = AotBlockServer(path)
+    feats = rng.standard_normal((1, 6, cfg.in_size)).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(live.process_block(feats)),
+                                  np.asarray(aot.process_block(feats)))
+
+    cb = ContinuousBatcher(_make_server("ls", *_family("ls")[1:], CFG), block=6)
+    cb.submit("a", rng.standard_normal((4, CFG.in_size)).astype(np.float32))
+    with pytest.raises(ValueError, match="duplicate"):
+        cb.submit("a", rng.standard_normal((4, CFG.in_size)).astype(np.float32))
+    # FS capacity guard
+    fs_cb = ContinuousBatcher(
+        StreamingServer(kind="fs", cfg=cfg, params=params, model_state=mstate,
+                        n_lanes=1, n_slots=4, capacity=8), block=6)
+    with pytest.raises(ValueError, match="capacity"):
+        fs_cb.submit("big", np.zeros((100, cfg.in_size), np.float32))
