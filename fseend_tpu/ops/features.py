@@ -246,15 +246,13 @@ def cumulative_mean(Y: np.ndarray) -> np.ndarray:
 def forgetting_mean(Y: np.ndarray, window: int = 250) -> np.ndarray:
     """Exponential-forgetting mean (LS-EEND/datasets/feature.py:26-43),
     available-but-unused in the reference transform; provided for parity."""
+    from scipy.signal import lfilter
+
     alpha = (window - 1.0) / (window + 1.0)
-    mu = np.zeros_like(Y)
-    acc = np.zeros(Y.shape[1], dtype=Y.dtype)
-    norm = 0.0
-    for t in range(Y.shape[0]):
-        acc = alpha * acc + (1 - alpha) * Y[t]
-        norm = alpha * norm + (1 - alpha)
-        mu[t] = acc / norm
-    return mu
+    # acc_t = a*acc_{t-1} + (1-a)*Y_t as an IIR filter; norm_t = 1 - a^{t+1}
+    acc = lfilter([1.0 - alpha], [1.0, -alpha], Y.astype(np.float64), axis=0)
+    norm = 1.0 - alpha ** (np.arange(1, Y.shape[0] + 1, dtype=np.float64))
+    return (acc / norm[:, None]).astype(Y.dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -36,8 +36,12 @@ def _export(jitted, *args):
 
 
 def save_server(server, path: str) -> None:
-    """Freeze a live BlockStreamingServer (serving/runtime.py) to `path`."""
-    zero_state = jax.tree.map(jnp.asarray, server.state)
+    """Freeze a live BlockStreamingServer (serving/runtime.py) to `path`.
+
+    The exported `init` is rebuilt pristine (fresh_state), NOT taken from
+    server.state — freezing a server that has already processed blocks must
+    not bake mid-stream state into the artifact."""
+    zero_state = jax.tree.map(jnp.asarray, server.fresh_state())
     step_blob = _export(
         server._step,
         zero_state,
@@ -53,6 +57,7 @@ def save_server(server, path: str) -> None:
         "block": int(server.block),
         "in_size": int(server.cfg.in_size),
         "conv_delay": int(server.cfg.conv_delay),
+        "capacity": int(server.capacity) if server.kind == "fs" else None,
         "dtype": str(np.dtype(server.dtype)
                      if server.dtype != jnp.bfloat16 else "bfloat16"),
     }
@@ -77,13 +82,26 @@ class AotBlockServer:
         self.n_slots = self.meta["n_slots"]
         self.block = self.meta["block"]
         self.dtype = jnp.dtype(self.meta["dtype"])
+        # absent in pre-round-3 artifacts -> guard disabled
+        self.capacity = self.meta.get("capacity")
         self.state = self._init()
+        self._frames_fed = 0
 
     def reset_all(self):
         self.state = self._init()
+        self._frames_fed = 0
 
     def process_block(self, frames: np.ndarray, flush: bool = False,
                       h_mask: np.ndarray | None = None) -> np.ndarray:
+        if self.kind == "fs" and not flush and self.capacity is not None:
+            # same overflow guard as BlockStreamingServer.process_block
+            if self._frames_fed + self.block > self.capacity:
+                raise ValueError(
+                    f"FS blockwise stream exceeds KV capacity: "
+                    f"{self._frames_fed} frames fed + block {self.block} > "
+                    f"capacity {self.capacity}; reset_all() or re-export "
+                    f"with larger capacity")
+            self._frames_fed += self.block
         if h_mask is None:
             h_mask = np.ones((self.block,), bool)
         self.state, probs = self._step(self.state,

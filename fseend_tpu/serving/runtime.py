@@ -186,20 +186,15 @@ class BlockStreamingServer:
 
     def __post_init__(self):
         assert self.block >= self.cfg.conv_delay
+        self._frames_fed = 0    # fs capacity guard (non-flush blocks only)
+        self.state = self.fresh_state()
         if self.kind == "fs":
-            self.state = fs_eend.fs_blockstream_init(
-                self.cfg, self.n_lanes, self.capacity, self.n_slots,
-                self.block, self.dtype)
-
             def step(state, xs, enc_bypass, h_mask):
                 new_state, logits = fs_eend.fs_blockstream_step(
                     self.params, state, self.cfg, self.model_state["bn"], xs,
                     self.n_slots, enc_bypass=enc_bypass, h_mask=h_mask)
                 return new_state, jax.nn.sigmoid(logits[..., 1:])
         else:
-            self.state = ls_eend.ls_blockstream_init(
-                self.cfg, self.n_lanes, self.n_slots, self.block, self.dtype)
-
             def step(state, xs, enc_bypass, h_mask):
                 new_state, logits = ls_eend.ls_blockstream_step(
                     self.params, state, self.cfg, self.model_state, xs,
@@ -207,6 +202,17 @@ class BlockStreamingServer:
                 return new_state, jax.nn.sigmoid(logits[..., 1:])
 
         self._step = jax.jit(step, donate_argnums=(0,))
+
+    def fresh_state(self):
+        """A pristine per-stream state (what reset_all installs); also used
+        by serving/aot.py so exported artifacts never bake mid-stream
+        state into their `init`."""
+        if self.kind == "fs":
+            return fs_eend.fs_blockstream_init(
+                self.cfg, self.n_lanes, self.capacity, self.n_slots,
+                self.block, self.dtype)
+        return ls_eend.ls_blockstream_init(
+            self.cfg, self.n_lanes, self.n_slots, self.block, self.dtype)
 
     def process_block(self, frames: np.ndarray, flush: bool = False,
                       h_mask: np.ndarray | None = None):
@@ -216,6 +222,18 @@ class BlockStreamingServer:
         h_mask (block,) bool marks valid frames — pass it on a zero-padded
         final partial block for exact ragged-tail parity with the batch
         pass."""
+        if self.kind == "fs" and not flush:
+            # FS KV caches are fixed-capacity; dynamic_update_slice clamps
+            # the write start, so overflowing would silently corrupt the
+            # cache tail. Fail loudly instead. (Flush blocks bypass the
+            # encoder and write nothing — fs_blockstream_step enc_bypass.)
+            if self._frames_fed + self.block > self.capacity:
+                raise ValueError(
+                    f"FS blockwise stream exceeds KV capacity: "
+                    f"{self._frames_fed} frames fed + block {self.block} > "
+                    f"capacity {self.capacity}; raise `capacity` or "
+                    f"reset_all() between calls")
+            self._frames_fed += self.block
         if h_mask is None:
             h_mask = np.ones((self.block,), bool)
         self.state, probs = self._step(self.state, jnp.asarray(frames),

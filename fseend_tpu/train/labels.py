@@ -47,9 +47,17 @@ def prepare_labels(labels: jnp.ndarray, lens: jnp.ndarray, n_spk: jnp.ndarray):
 
     slot_mask marks the reference's per-sample ``nspk + 2`` loss columns
     (silence + nspk sorted speakers + one zero column,
-    oln_tfm_enc_dec.py:75)."""
+    oln_tfm_enc_dec.py:75).
+
+    Frames beyond ``lens`` are ALL-ZERO (including the silence slot): the
+    reference truncates the protocol labels to [:ilen] per sample and the
+    models re-pad them with 0 (oln_tfm_enc_dec.py:75, pad_sequence in
+    onl_tfm...py:51-52) — the emb-consistency label map must see zeros
+    there, not silence=1."""
     B, T, S = labels.shape
     slot_labels = add_silence_none_slots(sort_by_first_activity(labels, lens))
+    frame_mask = (jnp.arange(T)[None, :] < lens[:, None])
+    slot_labels = slot_labels * frame_mask[..., None]
     slot_mask = jnp.arange(S + 2)[None, :] < (n_spk[:, None] + 2)
     return slot_labels.astype(jnp.float32), slot_mask
 

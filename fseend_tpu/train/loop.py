@@ -139,10 +139,6 @@ def run_training(
                                    opt_shardings),
             step=jax.device_put(state.step, repl))
 
-    train_step = trainer_lib.make_train_step(task, model_cfg, tx, donate=True)
-    eval_step = trainer_lib.make_eval_step(task, model_cfg)
-    rng = jax.random.PRNGKey(seed)
-
     # Preemption safety (beyond the reference, which loses everything since
     # the last epoch): on SIGTERM, finish the in-flight step, save
     # ckpt_preempt.npz and return.  The saved `epoch` is the last COMPLETED
@@ -158,6 +154,39 @@ def run_training(
         prev_handler = signal.signal(signal.SIGTERM, _on_term)
     except ValueError:          # not the main thread (e.g. some test runners)
         prev_handler = None
+
+    try:
+        return _run_training_body(
+            task=task, model_cfg=model_cfg, state=state, tx=tx, logger=logger,
+            train_dataset=train_dataset, val_dataset=val_dataset,
+            batch_size=batch_size, chunk_size=chunk_size,
+            max_speakers=max_speakers, input_dim=input_dim,
+            max_epochs=max_epochs, seed=seed, start_epoch=start_epoch,
+            early_stop_patience=early_stop_patience, val_interval=val_interval,
+            on_the_fly=on_the_fly, mesh=mesh, log_every=log_every,
+            limit_train_batches=limit_train_batches,
+            limit_val_batches=limit_val_batches, preempt=preempt)
+    finally:
+        # always restore the caller's handler — including when training
+        # raises, so the process isn't left with a handler closing over this
+        # call's dead state
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
+
+
+def _run_training_body(*, task, model_cfg, state, tx, logger, train_dataset,
+                       val_dataset, batch_size, chunk_size, max_speakers,
+                       input_dim, max_epochs, seed, start_epoch,
+                       early_stop_patience, val_interval, on_the_fly, mesh,
+                       log_every, limit_train_batches, limit_val_batches,
+                       preempt):
+    pmesh = None
+    if mesh is not None:
+        from fseend_tpu.parallel import mesh as pmesh
+
+    train_step = trainer_lib.make_train_step(task, model_cfg, tx, donate=True)
+    eval_step = trainer_lib.make_eval_step(task, model_cfg)
+    rng = jax.random.PRNGKey(seed)
 
     def _save_ckpt(path, epoch, val_der=None):
         ckpt_lib.save_pytree(
@@ -198,8 +227,6 @@ def run_training(
                 print(f"SIGTERM: saved {logger.dir}/ckpt_preempt.npz at "
                       f"step {int(state.step)} (epoch {epoch} will replay "
                       f"on resume)", flush=True)
-                if prev_handler is not None:
-                    signal.signal(signal.SIGTERM, prev_handler)
                 return state, logger.dir
             if n_steps % log_every == 0:
                 logger.log(int(state.step), {
@@ -252,8 +279,6 @@ def run_training(
             print(f"early stop at epoch {epoch} (best {best[0]:.4f} @ {best[1]})")
             break
 
-    if prev_handler is not None:
-        signal.signal(signal.SIGTERM, prev_handler)
     return state, logger.dir
 
 

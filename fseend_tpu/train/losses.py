@@ -210,7 +210,11 @@ def hungarian_pit_permute(logits, labels, lens, n_speakers):
 
 def _cos_map(x, eps=1e-6):
     m = jnp.einsum("btd,bsd->bts", x, x, preferred_element_type=jnp.float32)
-    n = jnp.linalg.norm(x, axis=-1)
+    # safe norm: torch.norm defines the subgradient at 0 as 0; naive
+    # sqrt(sum_sq) yields NaN grads (inf * zero-cotangent) on exactly-zero
+    # rows, which masked padded frames hit every step
+    sq = jnp.sum(jnp.square(x), axis=-1)
+    n = jnp.where(sq > 0, jnp.sqrt(jnp.where(sq > 0, sq, 1.0)), 0.0)
     return m / (n[:, :, None] * n[:, None, :] + eps)
 
 

@@ -126,7 +126,6 @@ def der_components(reference: list[Turn], hypothesis: list[Turn],
         r_active = [spk for spk, s, e in ref if s <= mid < e]
         h_active = [spk for spk, s, e in hyp if s <= mid < e]
         n_ref, n_hyp = len(r_active), len(h_active)
-        correct = sum(1 for h in h_active if mapping.get(h) in r_active)
         # each matched ref speaker counts once
         matched_refs = {mapping.get(h) for h in h_active if mapping.get(h) in r_active}
         correct = len(matched_refs)

@@ -177,6 +177,32 @@ def test_fs_block_streaming_server(rng):
         srv.reset_lanes([0])
 
 
+def test_fs_blockwise_capacity_guard(rng):
+    """Feeding an FS blockwise stream past its preallocated KV capacity must
+    raise — dynamic_update_slice would clamp the write start and silently
+    corrupt the cache tail otherwise. Flush blocks (encoder bypassed,
+    nothing written) and reset_all() don't count against capacity."""
+    from fseend_tpu.models import fs_eend
+    from fseend_tpu.serving.runtime import BlockStreamingServer
+
+    cfg = fs_eend.FSEENDConfig(
+        in_size=23, n_units=32, n_heads=4, enc_n_layers=1, dec_n_layers=1,
+        enc_dim_feedforward=64, dec_dim_feedforward=64, dropout=0.0,
+        conv_delay=2, max_nspks=4)
+    params, mstate = fs_eend.init_fs_eend(jax.random.PRNGKey(0), cfg)
+    srv = BlockStreamingServer(cfg=cfg, params=params, model_state=mstate,
+                               n_lanes=1, n_slots=4, block=6, kind="fs",
+                               capacity=12)
+    feats = rng.standard_normal((1, 6, cfg.in_size)).astype(np.float32)
+    srv.process_block(feats)
+    srv.process_block(feats)
+    srv.process_block(np.zeros_like(feats), flush=True)  # no capacity cost
+    with pytest.raises(ValueError, match="capacity"):
+        srv.process_block(feats)
+    srv.reset_all()
+    srv.process_block(feats)  # fresh stream fits again
+
+
 def test_raw_audio_pipeline_matches_offline(rng):
     """Raw audio blocks -> StreamingLogmel -> BlockStreamingServer == offline
     host featurization + batch forward, for LS and FS, with a ragged sample
@@ -268,6 +294,56 @@ def test_aot_exported_server_matches_live(rng, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(live.process_block(feats[:, :6], h_mask=mask)),
         np.asarray(aot.process_block(feats[:, :6], h_mask=mask)))
+
+
+def test_aot_export_after_processing_is_pristine(rng, tmp_path):
+    """Freezing a server that already processed blocks must NOT bake its
+    mid-stream state into the artifact's `init` — a fresh AotBlockServer
+    behaves like a fresh live server, and FS artifacts carry the capacity
+    guard in their meta."""
+    import dataclasses
+
+    from fseend_tpu.models import fs_eend
+    from fseend_tpu.serving.aot import AotBlockServer, save_server
+    from fseend_tpu.serving.runtime import BlockStreamingServer
+
+    cfgK = dataclasses.replace(CFG, chunk_size=6, dropout=0.0)
+    params, mstate = ls_eend.init_ls_eend(jax.random.PRNGKey(0), cfgK)
+    live = BlockStreamingServer(cfg=cfgK, params=params, model_state=mstate,
+                                n_lanes=2, n_slots=4, block=6)
+    feats = rng.standard_normal((2, 12, CFG.in_size)).astype(np.float32)
+    live.process_block(feats[:, :6])
+    live.process_block(feats[:, 6:])          # server is now mid-stream
+    path = str(tmp_path / "srv_dirty.npz")
+    save_server(live, path)
+    aot = AotBlockServer(path)
+    fresh = BlockStreamingServer(cfg=cfgK, params=params, model_state=mstate,
+                                 n_lanes=2, n_slots=4, block=6)
+    for st in (0, 6):
+        np.testing.assert_array_equal(
+            np.asarray(fresh.process_block(feats[:, st:st + 6])),
+            np.asarray(aot.process_block(feats[:, st:st + 6])))
+
+    # FS artifact: capacity recorded + enforced after load
+    fs_cfg = fs_eend.FSEENDConfig(
+        in_size=23, n_units=32, n_heads=4, enc_n_layers=1, dec_n_layers=1,
+        enc_dim_feedforward=64, dec_dim_feedforward=64, dropout=0.0,
+        conv_delay=2, max_nspks=4)
+    fparams, fmstate = fs_eend.init_fs_eend(jax.random.PRNGKey(1), fs_cfg)
+    fsrv = BlockStreamingServer(cfg=fs_cfg, params=fparams, model_state=fmstate,
+                                n_lanes=1, n_slots=4, block=6, kind="fs",
+                                capacity=12)
+    fpath = str(tmp_path / "fs_srv.npz")
+    save_server(fsrv, fpath)
+    faot = AotBlockServer(fpath)
+    assert faot.capacity == 12
+    f = rng.standard_normal((1, 6, fs_cfg.in_size)).astype(np.float32)
+    faot.process_block(f)
+    faot.process_block(f)
+    with pytest.raises(ValueError, match="capacity"):
+        faot.process_block(f)
+    faot.reset_all()
+    faot.process_block(f)
 
 
 def test_multichip_block_server_lane_sharded(rng):

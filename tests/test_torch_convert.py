@@ -70,6 +70,49 @@ def test_ls_streaming_on_converted_weights():
     assert float(np.abs(np.asarray(logits_s) - g["logits"]).max()) < 5e-2
 
 
+def _load_prod(name):
+    """Production-shape goldens ship f16 state dicts (both sides compute
+    from bit-identical f16-representable weights; tools/regen_goldens.py
+    ::prod_goldens rounds the reference model before running it)."""
+    g = np.load(GOLDENS / name)
+    sd = {k[len("sd__"):]: (np.asarray(g[k], np.float32)
+                            if g[k].dtype == np.float16 else g[k])
+          for k in g.files if k.startswith("sd__")}
+    return g, sd
+
+
+def test_fs_checkpoint_parity_production_shape():
+    """n_units=256, 4+2 layers, T=1500 — the published-DER shape. Measured
+    drift 2.3e-5 (f32 accumulation over 1500-frame causal attention)."""
+    g, sd = _load_prod("fs_model_prod.npz")
+    cfg = FS.FSEENDConfig(in_size=345, n_units=256, n_heads=4, enc_n_layers=4,
+                          dec_n_layers=2, enc_dim_feedforward=2048,
+                          dec_dim_feedforward=2048, conv_delay=9, max_nspks=6)
+    params, state = TC.fs_from_state_dict(sd, cfg)
+    out = FS.fs_test(params, state, cfg, jnp.asarray(np.asarray(g["x"], np.float32)),
+                     jnp.array([1500]), max_nspks=6)
+    np.testing.assert_allclose(np.asarray(out["logits"]), g["logits"], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["emb"]), g["emb"], atol=1e-5)
+
+
+def test_ls_checkpoint_parity_production_shape():
+    """n_units=256, 4+2 layers, chunk=500, T=1537 (pads to 2000: 3 chunk
+    boundaries + ragged tail) — pins the cross-chunk retention recursion
+    (retention.py:146-194) and chunk-multiple padding at size. Measured
+    drift 2.9e-4, within the reference's own 1e-3 streaming check
+    (LS-EEND/streaming_infer_dia.py:157-160)."""
+    g, sd = _load_prod("ls_model_prod.npz")
+    cfg = LS.LSEENDConfig(in_size=345, n_units=256, n_heads=4, enc_n_layers=4,
+                          dec_n_layers=2, chunk_size=500, ff_expansion=4,
+                          conv_kernel_size=16, dec_dim_feedforward=2048,
+                          conv_delay=9, max_nspks=10)
+    params, state = TC.ls_from_state_dict(sd, cfg)
+    out = LS.ls_test(params, state, cfg, jnp.asarray(np.asarray(g["x"], np.float32)),
+                     jnp.array([1537]), max_nspks=10)
+    np.testing.assert_allclose(np.asarray(out["logits"]), g["logits"], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["emb"]), g["emb"], atol=1e-5)
+
+
 def test_average_state_dicts():
     sd1 = {"a": np.ones((2, 2), np.float32)}
     sd2 = {"a": np.full((2, 2), 3.0, np.float32)}

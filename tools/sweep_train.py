@@ -1,0 +1,167 @@
+"""Training-step performance sweep on the real chip (the train-side
+counterpart of tools/sweep_serving.py).
+
+Two parts:
+  A. component breakdown of one train step at the benchmarked config
+     (where do the milliseconds go: encoder fwd+bwd, decoder fwd+bwd,
+     losses, optimizer);
+  B. config sweep over compute dtype / batch / retention chunk / remat,
+     reporting frames/s + XLA-counted MFU for each.
+
+Run:  python tools/sweep_train.py            (full sweep, ~15 min cold cache)
+      SWEEP_PART=A python tools/sweep_train.py   (breakdown only)
+"""
+
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402  (reuses _sync / compiled_flops / device_peak_flops)
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from fseend_tpu.models import ls_eend  # noqa: E402
+from fseend_tpu.train import losses, optim, trainer  # noqa: E402
+
+
+def make_batch(rng, B, T, S, in_size):
+    return {
+        "feats": jnp.asarray(rng.standard_normal((B, T, in_size)), jnp.float32),
+        "labels": jnp.asarray((rng.uniform(size=(B, T, S)) > 0.7), jnp.float32),
+        "lens": jnp.full((B,), T, jnp.int32),
+        "n_spk": jnp.full((B,), S, jnp.int32),
+    }
+
+
+def timeit(fn, *args, n=10, donate_state=False):
+    """Returns (ms_per_call, result). fn must return something jax."""
+    out = fn(*args)
+    bench._sync(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    bench._sync(out)
+    return (time.perf_counter() - t0) / n * 1e3, out
+
+
+def part_a(cfg, B=16, T=500, S=4):
+    print(f"=== A. component breakdown (B={B}, T={T}, f32) ===", flush=True)
+    rng = np.random.default_rng(0)
+    params, mstate = ls_eend.init_ls_eend(jax.random.PRNGKey(0), cfg)
+    batch = make_batch(rng, B, T, S, cfg.in_size)
+    task = trainer.TaskConfig(model="ls", label_mode="fixed",
+                              masked_emb_loss=True)
+    tx = optim.build_optimizer("noam", d_model=cfg.n_units, warmup_steps=100_000)
+    state = trainer.TrainState.create(params, mstate, tx)
+    key = jax.random.PRNGKey(1)
+
+    # full step
+    tstep = trainer.make_train_step(task, cfg, tx, donate=False)
+    ms, _ = timeit(lambda: tstep(state, batch, key))
+    print(f"full train step:        {ms:8.2f} ms", flush=True)
+
+    # loss fwd only
+    fwd = jax.jit(lambda p: trainer.compute_loss(task, cfg, p, mstate, batch,
+                                                 key, train=True)[0])
+    ms_f, _ = timeit(lambda: fwd(params))
+    print(f"loss forward only:      {ms_f:8.2f} ms", flush=True)
+
+    # value+grad, no optimizer
+    vg = jax.jit(lambda p: jax.value_and_grad(
+        lambda q: trainer.compute_loss(task, cfg, q, mstate, batch, key,
+                                       train=True)[0])(p)[1])
+    ms_g, _ = timeit(lambda: vg(params))
+    print(f"fwd+bwd (no optimizer): {ms_g:8.2f} ms", flush=True)
+
+    # encoder-only fwd+bwd
+    xs = batch["feats"]
+    enc_g = jax.jit(lambda p: jax.grad(
+        lambda q: jnp.sum(ls_eend.encode(q, mstate, cfg, xs, train=True,
+                                         rngs=None, time_mode="chunkwise")[0]
+                          ))(p))
+    ms_e, _ = timeit(lambda: enc_g(params))
+    print(f"encoder fwd+bwd:        {ms_e:8.2f} ms", flush=True)
+
+    # decoder-only fwd+bwd on a fixed emb
+    emb = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (B, T, cfg.n_units)), jnp.float32)
+    dec_g = jax.jit(lambda p: jax.grad(
+        lambda q: jnp.sum(ls_eend.decode(q, cfg, emb, S + 2, train=True,
+                                         rngs=None, time_mode="chunkwise")
+                          ))(p))
+    ms_d, _ = timeit(lambda: dec_g(params))
+    print(f"decoder fwd+bwd:        {ms_d:8.2f} ms", flush=True)
+
+    # emb-consistency loss fwd+bwd on fixed emb/labels
+    slot_labels = jnp.concatenate(
+        [1 - batch["labels"].max(-1, keepdims=True), batch["labels"],
+         jnp.zeros((B, T, 1))], axis=-1)
+    el_g = jax.jit(lambda e: jax.grad(
+        lambda x: losses.emb_consistency_loss_ls(x, slot_labels,
+                                                 batch["lens"]))(e))
+    ms_l, _ = timeit(lambda: el_g(emb))
+    print(f"emb-loss fwd+bwd:       {ms_l:8.2f} ms", flush=True)
+    print(f"(unaccounted: step - fwd+bwd = optimizer+counters "
+          f"{ms - ms_g:8.2f} ms)", flush=True)
+
+
+def part_b(cfg, S=4):
+    print("=== B. config sweep (full train step) ===", flush=True)
+    rng = np.random.default_rng(0)
+    rows = []
+    variants = []
+    for dtype in ("f32", "bf16"):
+        for B, T in ((16, 500), (32, 500), (64, 500)):
+            variants.append((dtype, B, T, cfg.chunk_size, False))
+    # chunk-size variants at the bf16 default batch
+    for chunk in (125, 250):
+        variants.append(("bf16", 16, 500, chunk, False))
+    # remat at the default
+    variants.append(("bf16", 16, 500, cfg.chunk_size, True))
+    variants.append(("bf16", 64, 2000, cfg.chunk_size, False))
+
+    for dtype, B, T, chunk, remat in variants:
+        vcfg = dataclasses.replace(cfg, chunk_size=chunk, remat=remat)
+        task = trainer.TaskConfig(model="ls", label_mode="fixed",
+                                  masked_emb_loss=True, compute_dtype=dtype)
+        tx = optim.build_optimizer("noam", d_model=cfg.n_units,
+                                   warmup_steps=100_000)
+        params, mstate = ls_eend.init_ls_eend(jax.random.PRNGKey(0), vcfg)
+        state = trainer.TrainState.create(params, mstate, tx)
+        batch = make_batch(rng, B, T, S, cfg.in_size)
+        key = jax.random.PRNGKey(1)
+        tstep = trainer.make_train_step(task, vcfg, tx, donate=True)
+        try:
+            flops = bench.compiled_flops(tstep, state, batch, key)
+            state, met = tstep(state, batch, key)
+            bench._sync(met["tot_loss"])
+            n = 10
+            t0 = time.perf_counter()
+            for _ in range(n):
+                state, met = tstep(state, batch, key)
+            bench._sync(met["tot_loss"])
+            el = time.perf_counter() - t0
+            fps = B * T * n / el
+            mfu = bench._mfu(flops, n, el)
+            rows.append((dtype, B, T, chunk, remat, el / n * 1e3, fps, mfu))
+            print(f"dtype={dtype:4s} B={B:3d} T={T:5d} chunk={chunk:3d} "
+                  f"remat={int(remat)}: {el / n * 1e3:7.1f} ms/step "
+                  f"{fps:9.0f} f/s  MFU "
+                  f"{100 * mfu if mfu else float('nan'):.2f}%", flush=True)
+        except Exception as e:
+            print(f"dtype={dtype} B={B} T={T} chunk={chunk} remat={remat}: "
+                  f"FAILED {type(e).__name__}: {e}", flush=True)
+    return rows
+
+
+if __name__ == "__main__":
+    cfg = ls_eend.LSEENDConfig()
+    part = os.environ.get("SWEEP_PART", "AB")
+    if "A" in part:
+        part_a(cfg)
+    if "B" in part:
+        part_b(cfg)
