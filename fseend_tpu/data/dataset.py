@@ -164,10 +164,11 @@ class PredictDataset:
 
     def __init__(self, wav_dir: str, feat: FeatureConfig):
         self.feat = feat
-        # wav only: read_wav decodes via the stdlib wave module (no flac
-        # decoder in scope); compressed formats come in through piped
-        # wav.scp entries instead (kaldi.py)
-        self.wavs = sorted(glob.glob(os.path.join(wav_dir, "*.wav")))
+        # wav via the stdlib wave module, flac via the native decoder
+        # (data/flac.py) — the same two formats the reference globs
+        # (diarization_dataset_predict.py:66)
+        self.wavs = sorted(glob.glob(os.path.join(wav_dir, "*.wav"))
+                           + glob.glob(os.path.join(wav_dir, "*.flac")))
 
     def __len__(self):
         return len(self.wavs)

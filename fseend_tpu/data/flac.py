@@ -1,0 +1,427 @@
+"""Self-contained FLAC decoder (pure Python + numpy, no external codecs).
+
+The reference's predict dataset reads `.flac` via soundfile
+(FS-EEND/datasets/diarization_dataset_predict.py:66); this image ships no
+soundfile/librosa/sox/ffmpeg, so the framework decodes FLAC natively.
+
+Scope (everything real diarization corpora use): native-FLAC container
+(fLaC magic + metadata blocks), frame headers with both blocking strategies,
+CONSTANT / VERBATIM / FIXED(0-4) / LPC(1-32) subframes, Rice-coded residual
+partitions (4- and 5-bit parameter variants incl. escape codes), 8/12/16/
+20/24-bit samples, mono and stereo incl. the three decorrelated stereo modes
+(left-side, right-side, mid-side). CRCs are not verified (decode-only).
+
+    data, sr = read_flac(path)      # float32 in [-1, 1), (T,) or (T, C)
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+from pathlib import Path
+
+import numpy as np
+
+_FIXED_COEFFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+_BLOCKSIZE_CODE = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                   8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                   13: 8192, 14: 16384, 15: 32768}
+_RATE_CODE = {0: None, 1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
+              6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000}
+_DEPTH_CODE = {0: None, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+class _Bits:
+    """MSB-first bit reader over a bytes object."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0          # bit position
+
+    def read(self, n: int) -> int:
+        out = 0
+        pos, data = self.pos, self.data
+        while n:
+            byte = data[pos >> 3]
+            avail = 8 - (pos & 7)
+            take = min(avail, n)
+            shift = avail - take
+            out = (out << take) | ((byte >> shift) & ((1 << take) - 1))
+            pos += take
+            n -= take
+        self.pos = pos
+        return out
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def read_unary(self) -> int:
+        """Count 0 bits until the terminating 1 bit."""
+        count = 0
+        pos, data = self.pos, self.data
+        while True:
+            byte = data[pos >> 3]
+            avail = 8 - (pos & 7)
+            chunk = byte & ((1 << avail) - 1)
+            if chunk == 0:
+                count += avail
+                pos += avail
+                continue
+            lead = avail - chunk.bit_length()
+            count += lead
+            pos += lead + 1
+            break
+        self.pos = pos
+        return count
+
+    def align(self):
+        self.pos = (self.pos + 7) & ~7
+
+    def read_utf8_coded(self) -> int:
+        """FLAC frame numbers use a UTF-8-style variable-length code."""
+        b0 = self.read(8)
+        if b0 < 0x80:
+            return b0
+        n_extra = 0
+        mask = 0x40
+        while b0 & mask:
+            n_extra += 1
+            mask >>= 1
+        val = b0 & (mask - 1)
+        for _ in range(n_extra):
+            val = (val << 6) | (self.read(8) & 0x3F)
+        return val
+
+
+def _rice_residual(bits: _Bits, n: int, predictor_order: int,
+                   param_bits: int) -> np.ndarray:
+    """Residual section: partition order + Rice-coded partitions."""
+    part_order = bits.read(4)
+    n_parts = 1 << part_order
+    out = np.empty(n - predictor_order, np.int64)
+    idx = 0
+    escape = (1 << param_bits) - 1
+    for p in range(n_parts):
+        count = (n >> part_order) - (predictor_order if p == 0 else 0)
+        param = bits.read(param_bits)
+        if param == escape:           # escape: raw nbits-coded residuals
+            raw_bits = bits.read(5)
+            for i in range(count):
+                out[idx + i] = bits.read_signed(raw_bits) if raw_bits else 0
+        else:
+            for i in range(count):
+                q = bits.read_unary()
+                r = bits.read(param) if param else 0
+                zz = (q << param) | r
+                out[idx + i] = (zz >> 1) ^ -(zz & 1)   # zigzag -> signed
+        idx += count
+    return out
+
+
+def _decode_subframe(bits: _Bits, n: int, depth: int) -> np.ndarray:
+    if bits.read(1):
+        raise ValueError("invalid subframe padding bit")
+    sf_type = bits.read(6)
+    wasted = 0
+    if bits.read(1):                  # wasted-bits-per-sample flag
+        wasted = 1 + bits.read_unary()
+        depth -= wasted
+    if sf_type == 0:                  # CONSTANT
+        out = np.full(n, bits.read_signed(depth), np.int64)
+    elif sf_type == 1:                # VERBATIM
+        out = np.array([bits.read_signed(depth) for _ in range(n)], np.int64)
+    elif 8 <= sf_type <= 12:          # FIXED, order = type - 8
+        order = sf_type - 8
+        warm = [bits.read_signed(depth) for _ in range(order)]
+        method = bits.read(2)         # 0: 4-bit Rice params, 1: 5-bit
+        if method > 1:
+            raise ValueError(f"reserved residual coding method {method}")
+        res = _rice_residual(bits, n, order, 4 + method)
+        out = np.empty(n, np.int64)
+        out[:order] = warm
+        coef = _FIXED_COEFFS[order]
+        for i in range(order, n):
+            pred = 0
+            for j, c in enumerate(coef):
+                pred += c * out[i - 1 - j]
+            out[i] = res[i - order] + pred
+    elif sf_type >= 32:               # LPC, order = (type & 31) + 1
+        order = (sf_type & 31) + 1
+        warm = [bits.read_signed(depth) for _ in range(order)]
+        prec = bits.read(4) + 1
+        shift = bits.read_signed(5)
+        coefs = [bits.read_signed(prec) for _ in range(order)]
+        method = bits.read(2)
+        if method > 1:
+            raise ValueError(f"reserved residual coding method {method}")
+        res = _rice_residual(bits, n, order, 4 + method)
+        out = np.empty(n, np.int64)
+        out[:order] = warm
+        c_arr = coefs
+        for i in range(order, n):
+            acc = 0
+            for j in range(order):
+                acc += c_arr[j] * out[i - 1 - j]
+            out[i] = res[i - order] + (acc >> shift)
+    else:
+        raise ValueError(f"reserved subframe type {sf_type}")
+    if wasted:
+        out <<= wasted
+    return out
+
+
+def read_flac(path: str | Path, start: int = 0, stop: int | None = None):
+    """Decode a FLAC file -> (float32 data in [-1, 1), sample_rate).
+    data is (T,) mono or (T, C). start/stop slice in samples after decode
+    (FLAC seeks are not needed for diarization-size recordings)."""
+    raw = Path(path).read_bytes()
+    if raw[:4] != b"fLaC":
+        raise ValueError(f"{path}: not a FLAC file")
+    off = 4
+    sr = depth = n_ch = total = None
+    while True:                        # metadata blocks
+        hdr = raw[off]
+        last = hdr & 0x80
+        btype = hdr & 0x7F
+        length = int.from_bytes(raw[off + 1:off + 4], "big")
+        if btype == 0:                 # STREAMINFO
+            si = raw[off + 4:off + 4 + length]
+            sr = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
+            n_ch = ((si[12] >> 1) & 0x7) + 1
+            depth = (((si[12] & 1) << 4) | (si[13] >> 4)) + 1
+            total = ((si[13] & 0xF) << 32) | int.from_bytes(si[14:18], "big")
+        off += 4 + length
+        if last:
+            break
+    bits = _Bits(raw[off:])
+    channels = [[] for _ in range(n_ch)]
+    n_read = 0
+    nbytes = len(raw) - off
+    while (bits.pos >> 3) < nbytes - 2 and (total == 0 or n_read < total):
+        sync = bits.read(14)
+        if sync != 0x3FFE:
+            raise ValueError(f"lost frame sync at bit {bits.pos - 14}")
+        bits.read(1)                   # reserved
+        bits.read(1)                   # blocking strategy
+        bs_code = bits.read(4)
+        sr_code = bits.read(4)
+        ch_code = bits.read(4)
+        depth_code = bits.read(3)
+        bits.read(1)                   # reserved
+        bits.read_utf8_coded()         # frame/sample number
+        if bs_code == 6:
+            n = bits.read(8) + 1
+        elif bs_code == 7:
+            n = bits.read(16) + 1
+        else:
+            n = _BLOCKSIZE_CODE[bs_code]
+        if sr_code == 12:
+            bits.read(8)
+        elif sr_code in (13, 14):
+            bits.read(16)
+        fdepth = _DEPTH_CODE.get(depth_code) or depth
+        bits.read(8)                   # header CRC-8 (unchecked)
+
+        if ch_code < 8:                # independent channels
+            subs = [_decode_subframe(bits, n, fdepth) for _ in range(ch_code + 1)]
+        elif ch_code == 8:             # left-side
+            left = _decode_subframe(bits, n, fdepth)
+            side = _decode_subframe(bits, n, fdepth + 1)
+            subs = [left, left - side]
+        elif ch_code == 9:             # right-side
+            side = _decode_subframe(bits, n, fdepth + 1)
+            right = _decode_subframe(bits, n, fdepth)
+            subs = [right + side, right]
+        elif ch_code == 10:            # mid-side: mid=(l+r)>>1, side=l-r
+            mid = _decode_subframe(bits, n, fdepth)
+            side = _decode_subframe(bits, n, fdepth + 1)
+            m2 = (mid << 1) | (side & 1)
+            subs = [(m2 + side) >> 1, (m2 - side) >> 1]
+        else:
+            raise ValueError(f"reserved channel assignment {ch_code}")
+        bits.align()
+        bits.read(16)                  # frame CRC-16 (unchecked)
+        for c in range(n_ch):
+            channels[c].append(subs[c])
+        n_read += n
+
+    data = np.stack([np.concatenate(ch) for ch in channels], axis=-1)
+    if total:
+        data = data[:total]
+    data = (data.astype(np.float32) / float(1 << (depth - 1)))
+    if n_ch == 1:
+        data = data[:, 0]
+    if stop is None:
+        stop = len(data)
+    return data[start:stop], sr
+
+
+# ---------------------------------------------------------------------------
+# Minimal encoder — spec-valid files with CONSTANT/FIXED/VERBATIM subframes
+# and correct CRCs. Exists so fixtures and tests can round-trip without any
+# external codec; decode coverage of LPC/stereo modes comes from the frame
+# syntax shared with FIXED.
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def write(self, val: int, n: int):
+        val &= (1 << n) - 1
+        self.cur = (self.cur << n) | val
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.cur >> self.nbits) & 0xFF)
+        self.cur &= (1 << self.nbits) - 1
+
+    def write_signed(self, val: int, n: int):
+        self.write(val & ((1 << n) - 1), n)
+
+    def write_unary(self, q: int):
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self):
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def getvalue(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
+def _utf8_code(n: int) -> bytes:
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    nbytes = 2
+    while n >= (1 << (5 * nbytes + 1)) and nbytes < 6:
+        nbytes += 1
+    lead = (0xFF << (8 - nbytes)) & 0xFF
+    shift = 6 * (nbytes - 1)
+    out.append(lead | (n >> shift))
+    for i in range(nbytes - 1):
+        shift -= 6
+        out.append(0x80 | ((n >> shift) & 0x3F))
+    return bytes(out)
+
+
+def _encode_subframe(w: _BitWriter, x: np.ndarray, depth: int):
+    n = len(x)
+    if np.all(x == x[0]):                       # CONSTANT
+        w.write(0, 1); w.write(0, 6); w.write(0, 1)
+        w.write_signed(int(x[0]), depth)
+        return
+    # pick the cheapest fixed order by residual magnitude
+    best_order, best_res, best_cost = 0, x, np.abs(x).sum()
+    cur = x
+    for order in (1, 2):
+        cur = np.diff(cur)
+        cost = np.abs(cur).sum() + (1 << depth)  # small warm-up penalty
+        if len(cur) and cost < best_cost:
+            best_order, best_res, best_cost = order, cur, cost
+    order, res = best_order, best_res
+    mean = max(1.0, float(np.abs(res).mean()) if len(res) else 1.0)
+    param = min(14, max(0, int(np.ceil(np.log2(mean + 1)))))
+    rice_bits = sum(int(((abs(int(v)) << 1) >> param) + 1 + param) for v in res)
+    if rice_bits > n * depth:                   # VERBATIM beats Rice
+        w.write(0, 1); w.write(1, 6); w.write(0, 1)
+        for v in x:
+            w.write_signed(int(v), depth)
+        return
+    w.write(0, 1); w.write(8 + order, 6); w.write(0, 1)
+    for v in x[:order]:
+        w.write_signed(int(v), depth)
+    w.write(0, 2)                               # 4-bit Rice params
+    w.write(0, 4)                               # partition order 0
+    w.write(param, 4)
+    for v in res:
+        v = int(v)
+        zz = (abs(v) << 1) - 1 if v < 0 else (v << 1)
+        w.write_unary(zz >> param)
+        if param:
+            w.write(zz & ((1 << param) - 1), param)
+
+
+def write_flac(path: str | Path, data: np.ndarray, sr: int, *,
+               depth: int = 16, block_size: int = 4096) -> None:
+    """Encode float32 [-1, 1) (T,) or (T, C) to a spec-valid FLAC file."""
+    if data.ndim == 1:
+        data = data[:, None]
+    T, C = data.shape
+    full = 1 << (depth - 1)
+    ints = np.clip(np.round(data.astype(np.float64) * full), -full,
+                   full - 1).astype(np.int64)
+    out = io.BytesIO()
+    out.write(b"fLaC")
+    si = bytearray(34)
+    struct.pack_into(">HH", si, 0, block_size, block_size)
+    # min/max frame size: 0 = unknown
+    si[10] = (sr >> 12) & 0xFF
+    si[11] = (sr >> 4) & 0xFF
+    si[12] = ((sr & 0xF) << 4) | (((C - 1) & 0x7) << 1) | ((depth - 1) >> 4)
+    si[13] = (((depth - 1) & 0xF) << 4) | ((T >> 32) & 0xF)
+    struct.pack_into(">I", si, 14, T & 0xFFFFFFFF)
+    out.write(bytes([0x80, 0, 0, 34]))          # last-block STREAMINFO
+    out.write(bytes(si))
+
+    rev_depth = {v: k for k, v in _DEPTH_CODE.items() if v}
+    for fi, st in enumerate(range(0, T, block_size)):
+        blk = ints[st:st + block_size]
+        n = len(blk)
+        w = _BitWriter()
+        w.write(0x3FFE, 14)
+        w.write(0, 1)                           # reserved
+        w.write(0, 1)                           # fixed-blocksize strategy
+        w.write(7, 4)                           # blocksize: explicit 16-bit
+        w.write(0, 4)                           # sample rate: STREAMINFO
+        w.write(C - 1, 4)                       # independent channels
+        w.write(rev_depth[depth], 3)
+        w.write(0, 1)                           # reserved
+        hdr = w.getvalue() if w.nbits == 0 else None
+        assert hdr is not None
+        hdr += _utf8_code(fi)
+        hdr += struct.pack(">H", n - 1)
+        hdr += bytes([_crc8(hdr)])
+        w2 = _BitWriter()
+        for c in range(C):
+            _encode_subframe(w2, blk[:, c], depth)
+        w2.align()
+        frame = hdr + w2.getvalue()
+        frame += struct.pack(">H", _crc16(frame))
+        out.write(frame)
+    Path(path).write_bytes(out.getvalue())

@@ -18,7 +18,7 @@ from pathlib import Path
 
 import numpy as np
 
-from fseend_tpu.ops.features import read_wav
+from fseend_tpu.ops.features import read_audio
 
 
 def load_segments_rechash(path):
@@ -100,7 +100,7 @@ def _load_wav_full(wav_rxfilename: str):
         return data, sr
     if wav_rxfilename == "-":
         raise ValueError("stdin wav input is not supported in the cached path")
-    return read_wav(wav_rxfilename)
+    return read_audio(wav_rxfilename)
 
 
 def load_wav(wav_rxfilename: str, start: int = 0, end: int | None = None):

@@ -31,8 +31,18 @@ from pathlib import Path
 import numpy as np
 
 # ---------------------------------------------------------------------------
-# wav IO (replaces soundfile.read with stdlib/scipy)
+# audio IO (replaces soundfile.read with stdlib/scipy + a native FLAC codec)
 # ---------------------------------------------------------------------------
+
+
+def read_audio(path: str | Path, start: int = 0, stop: int | None = None):
+    """Decode .wav (PCM) or .flac by extension — the formats the reference's
+    predict dataset globs (diarization_dataset_predict.py:66, soundfile)."""
+    if str(path).lower().endswith(".flac"):
+        from fseend_tpu.data.flac import read_flac
+
+        return read_flac(path, start, stop)
+    return read_wav(path, start, stop)
 
 
 def read_wav(path: str | Path, start: int = 0, stop: int | None = None):
@@ -314,8 +324,9 @@ def extract_fbank(
     input_transform: str | None = "logmel23_mn",
     subsampling: int = 10,
 ) -> np.ndarray:
-    """wav file -> (T/subsampling, (2*context+1)*n_mels) float32 features."""
-    data, _rate = read_wav(wav_path)
+    """wav/flac file -> (T/subsampling, (2*context+1)*n_mels) float32
+    features."""
+    data, _rate = read_audio(wav_path)
     if data.ndim > 1:
         data = data[:, 0]
     Y = stft(data, frame_size, frame_shift)

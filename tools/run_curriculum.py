@@ -33,7 +33,9 @@ def sh(args, **kw):
 
 
 def make_config(path, *, model, tr_dir, cv_dir, max_spk, epochs, init_ckpt,
-                n_units, batch_size, log_dir, name, on_the_fly):
+                n_units, batch_size, log_dir, name, on_the_fly,
+                enc_layers=2, dec_layers=1, ff_dim=256, chunk=100,
+                rec_chunk=100, ff_expansion=2):
     # reference protocol: average the LAST ~10 epochs (FS-EEND/README.md:56)
     avg_start = max(0, epochs - 10)
     lines = [
@@ -61,15 +63,16 @@ def make_config(path, *, model, tr_dir, cv_dir, max_spk, epochs, init_ckpt,
         "  params:",
         f"    n_units: {n_units}",
         "    n_heads: 4",
-        "    enc_n_layers: 2",
-        "    dec_n_layers: 1",
-        f"    {'dec_dim_feedforward: 256' if model == 'ls' else 'enc_dim_feedforward: 256'}",
+        f"    enc_n_layers: {enc_layers}",
+        f"    dec_n_layers: {dec_layers}",
+        f"    {'dec_dim_feedforward' if model == 'ls' else 'enc_dim_feedforward'}: {ff_dim}",
     ]
     if model == "fs":
-        lines.append("    dec_dim_feedforward: 256")
+        lines.append(f"    dec_dim_feedforward: {ff_dim}")
     else:
-        lines += ["    conv_kernel_size: 16", "    recurrent_chunk_size: 100",
-                  "    feed_forward_expansion_factor: 2"]
+        lines += ["    conv_kernel_size: 16",
+                  f"    recurrent_chunk_size: {rec_chunk}",
+                  f"    feed_forward_expansion_factor: {ff_expansion}"]
     lines += [
         "    dropout: 0.1",
         "    conv_delay: 9",
@@ -79,12 +82,12 @@ def make_config(path, *, model, tr_dir, cv_dir, max_spk, epochs, init_ckpt,
         "  context_recp: 7",
         "  label_delay: 0",
         "  feat_type: logmel23_mn",
-        "  chunk_size: 100",
+        f"  chunk_size: {chunk}",
         "  subsampling: 10",
         "  use_last_samples: True",
     ]
     if on_the_fly:
-        lines.append("  chunk_step: 50")
+        lines.append(f"  chunk_step: {chunk // 2}")
     lines += [
         "  feat: {sample_rate: 8000, win_length: 200, n_fft: 1024, "
         "hop_length: 80, n_mels: 23}",
@@ -125,6 +128,13 @@ def main():
     ap.add_argument("--n_units", type=int, default=64)
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--max_spk", type=int, default=4)
+    # production-size knobs (VERDICT r2 #5: run the real config's model —
+    # --n_units 256 --enc_layers 4 --dec_layers 2 --ff_dim 2048 --chunk 500)
+    ap.add_argument("--enc_layers", type=int, default=2)
+    ap.add_argument("--dec_layers", type=int, default=1)
+    ap.add_argument("--ff_dim", type=int, default=256)
+    ap.add_argument("--ff_expansion", type=int, default=2)
+    ap.add_argument("--chunk", type=int, default=100)
     args = ap.parse_args()
 
     os.makedirs(args.work, exist_ok=True)
@@ -151,7 +161,10 @@ def main():
                     max_spk=args.max_spk, epochs=args.epochs,
                     init_ckpt=init_ckpt, n_units=args.n_units,
                     batch_size=args.batch_size, log_dir=args.work, name=name,
-                    on_the_fly=(args.model == "ls"))
+                    on_the_fly=(args.model == "ls"),
+                    enc_layers=args.enc_layers, dec_layers=args.dec_layers,
+                    ff_dim=args.ff_dim, ff_expansion=args.ff_expansion,
+                    chunk=args.chunk, rec_chunk=args.chunk)
         sh([py, "-m", "cli.train", "--configs", cfg_path])
         vdir = latest_version(args.work, name)
         init_ckpt = os.path.join(vdir, "avg_model.npz")

@@ -161,7 +161,8 @@ def part_b(cfg, S=4):
 if __name__ == "__main__":
     cfg = ls_eend.LSEENDConfig()
     part = os.environ.get("SWEEP_PART", "AB")
-    if "A" in part:
-        part_a(cfg)
+    # B first: the actionable sweep lands even if the run is cut short
     if "B" in part:
         part_b(cfg)
+    if "A" in part:
+        part_a(cfg)
