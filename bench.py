@@ -224,17 +224,26 @@ def main():
 
     # --- mode 3: training step throughput + MFU (production LS, fwd+bwd) ---
     if not os.environ.get("BENCH_NO_TRAIN"):
+        import dataclasses
+
         from fseend_tpu.train import optim, trainer
 
         B = int(os.environ.get("BENCH_TRAIN_B", "16"))
         T = int(os.environ.get("BENCH_TRAIN_T", "500"))
         S = 4
+        # defaults from the measured sweep (tools/sweep_train.py, r3):
+        # bf16 + retention chunk 125 -> 141.6k f/s vs f32/chunk-500's 108.9k
+        # (+30%). γ=1 chunkwise retention is mathematically chunk-size-
+        # invariant, so the train chunk is a pure perf knob; bf16 training
+        # is validated in tests (bf16 vs f32 loss curves).
+        train_chunk = int(os.environ.get("BENCH_TRAIN_CHUNK", "125"))
+        tcfg = dataclasses.replace(cfg, chunk_size=train_chunk)
         task = trainer.TaskConfig(
             model="ls", label_mode="fixed", masked_emb_loss=True,
-            compute_dtype=os.environ.get("BENCH_TRAIN_DTYPE", "f32"))
+            compute_dtype=os.environ.get("BENCH_TRAIN_DTYPE", "bf16"))
         tx = optim.build_optimizer("noam", d_model=cfg.n_units,
                                    warmup_steps=100_000)
-        p32, m32 = ls_eend.init_ls_eend(jax.random.PRNGKey(0), cfg)
+        p32, m32 = ls_eend.init_ls_eend(jax.random.PRNGKey(0), tcfg)
         state = trainer.TrainState.create(p32, m32, tx)
         batch = {
             "feats": jnp.asarray(rng.standard_normal((B, T, cfg.in_size)),
@@ -244,7 +253,7 @@ def main():
             "lens": jnp.full((B,), T, jnp.int32),
             "n_spk": jnp.full((B,), S, jnp.int32),
         }
-        tstep = trainer.make_train_step(task, cfg, tx, donate=True)
+        tstep = trainer.make_train_step(task, tcfg, tx, donate=True)
         key = jax.random.PRNGKey(1)
         flops_tr = compiled_flops(tstep, state, batch, key)
         state, met = tstep(state, batch, key)
@@ -257,7 +266,8 @@ def main():
         el3 = time.perf_counter() - t0
         fps3 = B * T * n3 / el3
         mfu3 = _mfu(flops_tr, n3, el3)
-        msg = (f"[bench] train step (B={B}, T={T}): {fps3:.0f} frames/s, "
+        msg = (f"[bench] train step (B={B}, T={T}, {task.compute_dtype}, "
+               f"chunk={train_chunk}): {fps3:.0f} frames/s, "
                f"{el3 / n3 * 1e3:.1f} ms/step")
         if mfu3 is not None:
             msg += (f", MFU {100 * mfu3:.2f}% "

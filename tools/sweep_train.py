@@ -113,16 +113,24 @@ def part_b(cfg, S=4):
     print("=== B. config sweep (full train step) ===", flush=True)
     rng = np.random.default_rng(0)
     rows = []
-    variants = []
-    for dtype in ("f32", "bf16"):
-        for B, T in ((16, 500), (32, 500), (64, 500)):
-            variants.append((dtype, B, T, cfg.chunk_size, False))
-    # chunk-size variants at the bf16 default batch
-    for chunk in (125, 250):
-        variants.append(("bf16", 16, 500, chunk, False))
-    # remat at the default
-    variants.append(("bf16", 16, 500, cfg.chunk_size, True))
-    variants.append(("bf16", 64, 2000, cfg.chunk_size, False))
+    env = os.environ.get("SWEEP_VARIANTS")
+    if env:
+        # "bf16:64:500:125:0,bf16:16:500:64:0" -> (dtype, B, T, chunk, remat)
+        variants = []
+        for spec in env.split(","):
+            d, B, T, c, r = spec.split(":")
+            variants.append((d, int(B), int(T), int(c), bool(int(r))))
+    else:
+        variants = []
+        for dtype in ("f32", "bf16"):
+            for B, T in ((16, 500), (32, 500), (64, 500)):
+                variants.append((dtype, B, T, cfg.chunk_size, False))
+        # chunk-size variants at the bf16 default batch
+        for chunk in (125, 250):
+            variants.append(("bf16", 16, 500, chunk, False))
+        # remat at the default
+        variants.append(("bf16", 16, 500, cfg.chunk_size, True))
+        variants.append(("bf16", 64, 2000, cfg.chunk_size, False))
 
     for dtype, B, T, chunk, remat in variants:
         vcfg = dataclasses.replace(cfg, chunk_size=chunk, remat=remat)
