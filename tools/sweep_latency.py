@@ -1,0 +1,147 @@
+"""Latency/throughput frontier for LS-EEND serving on one chip.
+
+The two production modes sit at opposite ends of a frontier:
+
+  * per-frame recurrent scan — frame-level latency (the reference's
+    streaming semantics, LS-EEND/streaming_infer_dia.py:52-97), lowest
+    latency, lowest MXU utilization (one (lanes, D) matmul per op);
+  * blockwise-recurrent K=128 — rides the 128x128 MXU tile, highest
+    throughput, but a lane must buffer K frames (K/10 Hz = +12.8 s)
+    before the chip sees them.
+
+Micro-blocks (K=16..64) are the middle modes VERDICT r2 #6 asks for:
++1.6..6.4 s batching latency for a measured throughput step-up. This
+sweeps K (1 = per-frame scan) x lanes and tabulates frames/s, x-realtime
+per lane, and the end-to-end per-frame latency model
+
+  latency_p50 ~= K / frame_rate  (block fill, 10 Hz)  +  device block time
+
+Run on the real chip:  python tools/sweep_latency.py [--out /tmp/frontier.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "bfloat16")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from fseend_tpu.models import ls_eend
+from fseend_tpu.serving.runtime import StreamingServer
+
+FRAME_HZ = 10.0  # post-subsampling frame rate (8 kHz, hop 80, subsample 10)
+
+
+def _sync(x):
+    arr = x
+    while isinstance(arr, (tuple, list, dict)):
+        arr = jax.tree.leaves(arr)[0]
+    return np.asarray(jnp.ravel(arr)[0])
+
+
+def measure_perframe(cfg, params, mstate, lanes, dt, n_frames=2000):
+    """Fused per-frame scan via StreamingServer.process_block (scan of
+    ls_stream_step; K here only amortizes dispatch, semantics stay
+    frame-level)."""
+    rng = np.random.default_rng(0)
+    server = StreamingServer(kind="ls", cfg=cfg, params=params,
+                             model_state=mstate, n_lanes=lanes,
+                             n_slots=cfg.max_nspks, dtype=dt)
+    xs = jax.device_put(jnp.asarray(
+        rng.standard_normal((lanes, 500, cfg.in_size)), dt))
+    p, _ = server.process_block(xs)
+    _sync(p)
+    n_rep = max(1, n_frames // 500)
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        p, _ = server.process_block(xs)
+    _sync(p)
+    el = time.perf_counter() - t0
+    fps = lanes * 500 * n_rep / el
+    step_ms = el / (500 * n_rep) * 1e3
+    return {"mode": "per-frame", "K": 1, "lanes": lanes,
+            "frames_per_sec": round(fps, 1),
+            "rt_per_lane": round(fps / lanes / FRAME_HZ, 1),
+            "device_block_ms": round(step_ms, 3),
+            # a frame is visible to the chip as soon as it exists
+            "latency_ms": round(step_ms, 3)}
+
+
+def measure_blockwise(cfg, params, mstate, lanes, K, dt, n_rep=20):
+    rng = np.random.default_rng(0)
+    xs = jax.device_put(jnp.asarray(
+        rng.standard_normal((lanes, K, cfg.in_size)), dt))
+    st = ls_eend.ls_blockstream_init(cfg, lanes, cfg.max_nspks, K, dt)
+    step = jax.jit(
+        lambda s, x: ls_eend.ls_blockstream_step(params, s, cfg, mstate, x,
+                                                 cfg.max_nspks),
+        donate_argnums=(0,))
+    st, y = step(st, xs)
+    _sync(y)
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        st, y = step(st, xs)
+    _sync(y)
+    el = time.perf_counter() - t0
+    fps = lanes * K * n_rep / el
+    blk_ms = el / n_rep * 1e3
+    fill_ms = K / FRAME_HZ * 1e3
+    return {"mode": "blockwise", "K": K, "lanes": lanes,
+            "frames_per_sec": round(fps, 1),
+            "rt_per_lane": round(fps / lanes / FRAME_HZ, 1),
+            "device_block_ms": round(blk_ms, 3),
+            # last frame of a block waits ~0 for fill; FIRST frame waits
+            # K/rate — report the worst-case (first-frame) latency
+            "latency_ms": round(fill_ms + blk_ms, 1)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/latency_frontier.json")
+    ap.add_argument("--lanes", default="128")
+    # block >= conv_delay (9) is required by ls_blockstream_init
+    ap.add_argument("--Ks", default="16,32,64,128")
+    ap.add_argument("--perframe_lanes", default="128,512")
+    args = ap.parse_args()
+
+    print(f"device: {jax.devices()[0]}", file=sys.stderr, flush=True)
+    cfg = ls_eend.LSEENDConfig()  # production size
+    params, mstate = ls_eend.init_ls_eend(jax.random.PRNGKey(0), cfg)
+    dt = jnp.bfloat16
+    cast = lambda t: jax.tree.map(
+        lambda x: x.astype(dt) if hasattr(x, "dtype") and x.dtype == jnp.float32
+        else x, t)
+    params, mstate = cast(params), cast(mstate)
+
+    rows = []
+    for lanes in (int(s) for s in args.perframe_lanes.split(",")):
+        r = measure_perframe(cfg, params, mstate, lanes, dt)
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+    for lanes in (int(s) for s in args.lanes.split(",")):
+        for K in (int(s) for s in args.Ks.split(",")):
+            r = measure_blockwise(cfg, params, mstate, lanes, K, dt)
+            rows.append(r)
+            print(json.dumps(r), flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(rows, f, indent=1)
+    print(f"-> {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
