@@ -146,3 +146,17 @@ def test_fused_ffn_grads(rng):
     g2 = jax.grad(lambda pp: f(pp, False))(p)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_pick_group_vmem_cap():
+    """The row-group G must stay within the measured VMEM budget: G=8 at
+    serving/training chunks (128/125), capped to G=2 at chunk 500 (an
+    uncapped G=8/L=128 variant at BH=5120 OOMed Mosaic's 16 MB scoped-vmem
+    stack on the real chip — see kernels/retention_pallas.py)."""
+    from fseend_tpu.kernels.retention_pallas import _pick_group
+
+    assert _pick_group(512, 128) == 8
+    assert _pick_group(16, 125) == 8
+    assert _pick_group(8, 500) == 2     # (G,L,L) f32 budget caps G
+    assert _pick_group(6, 128) == 2     # divisibility: 8,4 don't divide 6
+    assert _pick_group(5, 128) == 1
