@@ -35,7 +35,7 @@ def sh(args, **kw):
 def make_config(path, *, model, tr_dir, cv_dir, max_spk, epochs, init_ckpt,
                 n_units, batch_size, log_dir, name, on_the_fly,
                 enc_layers=2, dec_layers=1, ff_dim=256, chunk=100,
-                rec_chunk=100, ff_expansion=2):
+                rec_chunk=100, ff_expansion=2, lr=0.001):
     # reference protocol: average the LAST ~10 epochs (FS-EEND/README.md:56)
     avg_start = max(0, epochs - 10)
     lines = [
@@ -48,8 +48,10 @@ def make_config(path, *, model, tr_dir, cv_dir, max_spk, epochs, init_ckpt,
         f"  batch_size: {batch_size}",
         # plain adam: at these tiny step counts (~20 steps/epoch) the Noam
         # peak lands near the END of the run and destabilizes late epochs —
-        # exactly the window the checkpoint average samples
-        "  lr: 0.001",
+        # exactly the window the checkpoint average samples.  1e-3 suits the
+        # small models; the 256-unit production model needs ~3e-4 (1e-3
+        # diverges after ~7 epochs, measured)
+        f"  lr: {lr}",
         "  opt: adam",
         f"  max_epochs: {epochs}",
         "  grad_clip: 5",
@@ -135,6 +137,7 @@ def main():
     ap.add_argument("--ff_dim", type=int, default=256)
     ap.add_argument("--ff_expansion", type=int, default=2)
     ap.add_argument("--chunk", type=int, default=100)
+    ap.add_argument("--lr", type=float, default=0.001)
     args = ap.parse_args()
 
     os.makedirs(args.work, exist_ok=True)
@@ -164,7 +167,7 @@ def main():
                     on_the_fly=(args.model == "ls"),
                     enc_layers=args.enc_layers, dec_layers=args.dec_layers,
                     ff_dim=args.ff_dim, ff_expansion=args.ff_expansion,
-                    chunk=args.chunk, rec_chunk=args.chunk)
+                    chunk=args.chunk, rec_chunk=args.chunk, lr=args.lr)
         sh([py, "-m", "cli.train", "--configs", cfg_path])
         vdir = latest_version(args.work, name)
         init_ckpt = os.path.join(vdir, "avg_model.npz")
