@@ -102,21 +102,48 @@ def make_config(path, *, model, tr_dir, cv_dir, max_spk, epochs, init_ckpt,
         f.write("\n".join(lines) + "\n")
 
 
-def epoch_der_table(version_dir):
-    rows = []
-    with open(os.path.join(version_dir, "metrics.jsonl")) as f:
-        for line in f:
-            rec = json.loads(line)
-            if "val/DER" in rec:
-                rows.append((rec["step"], rec["val/DER"]))
-    return rows
+def epoch_der_table(log_root, name):
+    """val/DER rows for a stage, merged across ALL version dirs (a stage
+    interrupted by SIGTERM resumes into a fresh version_N; the early epochs'
+    metrics live in the older one)."""
+    rows = {}
+    for vdir in all_versions(log_root, name):
+        path = os.path.join(vdir, "metrics.jsonl")
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            for line in f:
+                rec = json.loads(line)
+                if "val/DER" in rec:
+                    rows[rec["step"]] = rec["val/DER"]
+    return sorted(rows.items())
+
+
+def all_versions(log_root, name):
+    base = os.path.join(log_root, name)
+    if not os.path.isdir(base):
+        return []
+    vs = sorted(int(v.split("_")[1]) for v in os.listdir(base)
+                if v.startswith("version_"))
+    return [os.path.join(base, f"version_{v}") for v in vs]
 
 
 def latest_version(log_root, name):
-    base = os.path.join(log_root, name)
-    vs = sorted(int(v.split("_")[1]) for v in os.listdir(base)
-                if v.startswith("version_"))
-    return os.path.join(base, f"version_{vs[-1]}")
+    return all_versions(log_root, name)[-1]
+
+
+def stage_status(log_root, name):
+    """('done', vdir) | ('resume', preempt_ckpt) | ('fresh', None)."""
+    versions = all_versions(log_root, name)
+    if not versions:
+        return "fresh", None
+    vdir = versions[-1]
+    if os.path.exists(os.path.join(vdir, "avg_model.npz")):
+        return "done", vdir
+    pre = os.path.join(vdir, "ckpt_preempt.npz")
+    if os.path.exists(pre):
+        return "resume", pre
+    return "fresh", None
 
 
 def main():
@@ -168,7 +195,16 @@ def main():
                     enc_layers=args.enc_layers, dec_layers=args.dec_layers,
                     ff_dim=args.ff_dim, ff_expansion=args.ff_expansion,
                     chunk=args.chunk, rec_chunk=args.chunk, lr=args.lr)
-        sh([py, "-m", "cli.train", "--configs", cfg_path])
+        status, payload = stage_status(args.work, name)
+        if status == "done":
+            print(f"stage ns{ns}: already complete ({payload}), skipping "
+                  f"training", flush=True)
+        elif status == "resume":
+            print(f"stage ns{ns}: resuming from {payload}", flush=True)
+            sh([py, "-m", "cli.train", "--configs", cfg_path,
+                "--checkpoint_resume", payload])
+        else:
+            sh([py, "-m", "cli.train", "--configs", cfg_path])
         vdir = latest_version(args.work, name)
         init_ckpt = os.path.join(vdir, "avg_model.npz")
 
@@ -179,7 +215,7 @@ def main():
                   "--hyp_dir", os.path.join(vdir, "preds_h5")])
         m = re.search(r"mean der: ([\d.]+)", out.stdout)
         collar_der = float(m.group(1)) if m else float("nan")
-        results.append((ns, vdir, epoch_der_table(vdir), collar_der))
+        results.append((ns, vdir, epoch_der_table(args.work, name), collar_der))
         print(f"stage ns{ns}: collar DER {collar_der:.4f}", flush=True)
 
     with open(os.path.join(args.work, "RESULTS.md"), "w") as f:
