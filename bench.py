@@ -189,10 +189,16 @@ def main():
         xsb = jax.device_put(
             jnp.asarray(rng.standard_normal((lanes, K, cfg.in_size)), dt))
         best2 = (0.0, None)  # (fps, mfu) of the fastest blockwise variant
+        flops_xla = None  # algorithmic FLOPs from the all-XLA graph: the cost
+        # model can't see inside pallas custom calls, so kernel variants
+        # under-count; MFU is comparable only at a common FLOP count
         for variant, vcfg in (
                 ("xla", cfg),
-                ("pallas", dataclasses.replace(cfg, use_pallas=True))):
-            if variant == "pallas" and os.environ.get("BENCH_NO_PALLAS"):
+                ("pallas", dataclasses.replace(cfg, use_pallas=True)),
+                # whole-layer fusion (projections + core + finish in one
+                # pallas_call — no fusion-barrier round-trips)
+                ("fused", dataclasses.replace(cfg, use_fused_ret=True))):
+            if variant in ("pallas", "fused") and os.environ.get("BENCH_NO_PALLAS"):
                 continue
             st = ls_eend.ls_blockstream_init(vcfg, lanes, vcfg.max_nspks, K, dt)
             step = jax.jit(
@@ -200,6 +206,10 @@ def main():
                     params, s, c, mstate, x, c.max_nspks),
                 donate_argnums=(0,))
             flops_blk = compiled_flops(step, st, xsb)
+            if variant == "xla":
+                flops_xla = flops_blk
+            elif flops_xla is not None:
+                flops_blk = flops_xla
             st, y = step(st, xsb)
             _sync(y)
             n2 = 20

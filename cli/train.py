@@ -46,6 +46,7 @@ def build_model(configs):
             conv_delay=p.get("conv_delay", 9),
             mask_delay=p.get("mask_delay", 0), max_nspks=max_spk + 2,
             use_pallas=p.get("use_pallas", False),
+            use_fused_ret=p.get("use_fused_ret", False),
             remat=p.get("remat", False))
         init = lambda key: ls_eend.init_ls_eend(key, cfg)
         task = trainer_lib.TaskConfig(

@@ -57,6 +57,9 @@ class LSEENDConfig:
     pe_max_len: int = 5000
     half_step_residual: bool = True
     use_pallas: bool = False   # fused TPU kernel for chunkwise retention
+    use_fused_ret: bool = False  # FULLY fused retention layer (projections +
+                                 # core + norm/gate/out-proj in one kernel;
+                                 # kernels/retention_layer_pallas.py)
     use_fused_ffn: bool = False  # Pallas fused FFN in serving paths (opt-in;
                                  # XLA matches it on default shapes — see
                                  # kernels/ffn_pallas.py)
@@ -70,7 +73,8 @@ class LSEENDConfig:
     @property
     def ret_cfg(self) -> R.RetentionConfig:
         return R.RetentionConfig(self.n_units, self.n_heads, 1, self.chunk_size,
-                                 use_pallas=self.use_pallas)
+                                 use_pallas=self.use_pallas,
+                                 use_fused_ret=self.use_fused_ret)
 
     @property
     def ff_factor(self) -> float:
@@ -485,7 +489,8 @@ def _block_ret_cfg(cfg: LSEENDConfig, K: int) -> R.RetentionConfig:
     # propagate use_pallas so the carried-state kernel actually serves
     # blockwise traffic when model.params.use_pallas is set
     return R.RetentionConfig(cfg.n_units, cfg.n_heads, 1, K,
-                             use_pallas=cfg.use_pallas)
+                             use_pallas=cfg.use_pallas,
+                             use_fused_ret=cfg.use_fused_ret)
 
 
 def ls_blockstream_init(cfg: LSEENDConfig, batch: int, n_slots: int | None = None,

@@ -53,6 +53,10 @@ class RetentionConfig:
     use_xpos: bool = False
     use_decay: bool = False  # reference uses γ=1 (no decay)
     use_pallas: bool = False  # fused TPU kernel for the chunkwise core (γ=1)
+    use_fused_ret: bool = False  # FULLY fused layer kernel (projections +
+                                 # chunkwise core + norm/gate/out-proj in one
+                                 # pallas_call) — see
+                                 # kernels/retention_layer_pallas.py
 
     @property
     def key_dim(self) -> int:
@@ -200,6 +204,16 @@ def retention_chunkwise_stateful(p: Params, x: jnp.ndarray, state: Params | None
     assert T % L == 0, f"T={T} must be a multiple of chunk_size={L}"
     N = T // L
     H, dk, dv = cfg.num_heads, cfg.key_dim, cfg.head_dim
+
+    if cfg.use_fused_ret and not cfg.use_xpos:
+        # whole layer (projections + core + finish) in one pallas_call —
+        # no q/k/v/g/core-out HBM round-trips (the fusion-barrier cost the
+        # op-level kernel pays); differentiable via custom-VJP recompute
+        from fseend_tpu.kernels.retention_layer_pallas import (
+            fused_retention_layer)
+
+        return fused_retention_layer(
+            p, x, state, cfg, jax.default_backend() != "tpu")
 
     q, k, v, g = _project_qkv(p, x, cfg)  # (B, H, T, d*)
 
