@@ -50,6 +50,9 @@ class FSEENDConfig:
     mask_delay: int = 0
     max_nspks: int = 6  # attractor slots incl. silence(0) and none(last) = max_speakers + 2
     pe_max_len: int = 5000
+    use_flash_attn: bool = False  # flash cached-attention Pallas kernel in
+                                  # blockwise serving (forward-only;
+                                  # kernels/cached_attention_pallas.py)
 
     @property
     def conv_kernel_size(self) -> int:
@@ -374,19 +377,28 @@ def fs_blockstream_init(cfg: FSEENDConfig, batch: int, capacity: int,
 
 
 def _cached_attention_block(attn_p: Params, x_q: jnp.ndarray, cache: Params,
-                            start: jnp.ndarray):
+                            start: jnp.ndarray, flash: bool = False):
     """K-query attention against a fixed-capacity cache: writes the block's
     k/v at [start, start+K), each query i attends positions <= start+i.
-    x_q: (..., K, D). Returns (out (..., K, D), new_cache)."""
+    x_q: (..., K, D). Returns (out (..., K, D), new_cache). flash routes
+    the softmax(qk)v core through the online-softmax Pallas kernel (no
+    materialized (K, cap) scores — kernels/cached_attention_pallas.py)."""
     q, k, v = nn.mha_project_qkv(attn_p, x_q, x_q, x_q)  # (..., H, K, hd)
     K = x_q.shape[-2]
     cap = cache["k"].shape[-2]
     new_k = jax.lax.dynamic_update_slice_in_dim(cache["k"], k, start, axis=-2)
     new_v = jax.lax.dynamic_update_slice_in_dim(cache["v"], v, start, axis=-2)
-    pos = jnp.arange(cap)[None, :]
-    qpos = start + jnp.arange(K)[:, None]
-    mask = jnp.where(pos <= qpos, 0.0, nn.NEG_INF)  # (K, cap)
-    out = nn.mha_core(q, new_k, new_v, mask)
+    if flash:
+        from fseend_tpu.kernels.cached_attention_pallas import (
+            cached_attention_block)
+
+        out = cached_attention_block(q, new_k, new_v, start,
+                                     interpret=jax.default_backend() != "tpu")
+    else:
+        pos = jnp.arange(cap)[None, :]
+        qpos = start + jnp.arange(K)[:, None]
+        mask = jnp.where(pos <= qpos, 0.0, nn.NEG_INF)  # (K, cap)
+        out = nn.mha_core(q, new_k, new_v, mask)
     out = nn._merge_heads(out)
     out = nn.linear(attn_p["out_proj"], out)
     return out, {"k": new_k, "v": new_v}
@@ -410,7 +422,8 @@ def fs_blockstream_step(params: Params, state: Params, cfg: FSEENDConfig,
     h = nn.layer_norm(params["enc"]["norm"], nn.linear(params["enc"]["proj"], h))
     new_enc_kv = []
     for lp, cache in zip(params["enc"]["layers"], state["enc_kv"]):
-        a, new_cache = _cached_attention_block(lp["self_attn"], h, cache, t)
+        a, new_cache = _cached_attention_block(lp["self_attn"], h, cache, t,
+                                               flash=cfg.use_flash_attn)
         new_cache = jax.tree.map(
             lambda new, old: jnp.where(enc_bypass, old, new), new_cache, cache)
         h = nn.layer_norm(lp["norm1"], h + a)
@@ -435,6 +448,11 @@ def fs_blockstream_step(params: Params, state: Params, cfg: FSEENDConfig,
     new_dec_kv = []
     for lp, cache in zip(params["dec"]["layers"], state["dec_kv"]):
         xt = x.swapaxes(1, 2)  # (B, C, K, D)
+        # decoder time-attention stays on the XLA masked path even under
+        # use_flash_attn: at its row count (B*C*H=1536) XLA's big batched
+        # matmuls beat the kernel (measured 7.5 vs 7.8 ms; the kernel's
+        # per-step cost scales with row-groups). Flash wins the encoder
+        # (256 rows: 2.55 vs 3.44 ms) — see tools/bench_fs_serving.py.
         a, new_cache = _cached_attention_block(lp["time_attn"], xt, cache, u)
         new_cache = jax.tree.map(
             lambda new, old: jnp.where(first, old, new), new_cache, cache)
