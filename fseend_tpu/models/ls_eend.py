@@ -469,6 +469,104 @@ def ls_stream_scan(params: Params, state: Params, cfg: LSEENDConfig, model_state
     return logits[cfg.conv_delay:].swapaxes(0, 1), emb[cfg.conv_delay:].swapaxes(0, 1)
 
 
+def ls_stream_block_fused(params: Params, state: Params, cfg: LSEENDConfig,
+                          model_state, xs: jnp.ndarray, flush: jnp.ndarray,
+                          n_slots: int, interpret: bool = False,
+                          enc_kernel: bool = True):
+    """K-frame per-frame-streaming block with the DECODER fused into one
+    Pallas frame-scan kernel (kernels/dec_frame_scan_pallas.py).
+
+    Semantically identical to scanning `ls_stream_step` over the block (same
+    per-frame latency semantics, same per-lane flush/valid gating): the
+    encoder + look-ahead cnn run as an XLA scan/batched conv; the attractor
+    decoder — whose (B*C, H, dv, dk) retention states dominate the scan's
+    HBM traffic — runs with its states VMEM-resident across the block.
+
+    xs: (B, K, in_size); flush: (K, B) bool.
+    Returns (new_state, (logits (K, B, C) f32, valid (K, B)))."""
+    from fseend_tpu.kernels import dec_frame_scan_pallas as DFS
+
+    B, T, _ = xs.shape
+    C = n_slots
+    D = cfg.n_units
+    dt = state["cnn_buf"].dtype
+
+    if enc_kernel:
+        # --- encoder: fused Pallas frame-scan over all conformer blocks ---
+        from fseend_tpu.kernels import enc_frame_scan_pallas as EFS
+
+        # proj+LN batched in xs.dtype, then cast to the state dtype — the
+        # same order as _block_step's entry cast in the per-frame scan
+        h0 = nn.layer_norm(params["enc"]["norm"],
+                           nn.linear(params["enc"]["proj"], xs)).astype(dt)
+        ew = EFS.pack_enc_weights(params["enc"]["blocks"],
+                                  model_state["conv_bn"], cfg, h0.dtype)
+        ekv0, es0, ering0 = EFS.pack_enc_state(state["enc"])
+        h_t, ekv_f, es_f, ering_f = EFS.enc_frame_scan(
+            h0.transpose(1, 2, 0), flush.astype(h0.dtype)[:, None, :], *ew,
+            ekv0, es0, ering0, ffac=cfg.ff_factor, interpret=interpret)
+        h_seq = h_t.transpose(2, 0, 1)                   # (B, T, D)
+        h_seq = jnp.where(flush.T[:, :, None], jnp.zeros((), h_seq.dtype),
+                          h_seq)
+        new_enc = EFS.unpack_enc_state(ekv_f, es_f, ering_f,
+                                       like=state["enc"])
+    else:
+        # --- encoder: per-frame XLA scan of the conformer blocks ---
+        def enc_step(enc_sts, inp):
+            x_t, fl = inp
+            h = nn.layer_norm(params["enc"]["norm"],
+                              nn.linear(params["enc"]["proj"], x_t))
+            new_sts = []
+            for bp, bs, st in zip(params["enc"]["blocks"],
+                                  model_state["conv_bn"], enc_sts):
+                h, new_st = _block_step(bp, bs, h, st, cfg)
+                new_st = jax.tree.map(
+                    lambda n, o: jnp.where(
+                        fl.reshape(fl.shape + (1,) * (n.ndim - 1)), o, n),
+                    new_st, st)
+                new_sts.append(new_st)
+            h = jnp.where(fl[:, None], jnp.zeros((), h.dtype), h)
+            return new_sts, h
+
+        new_enc, h_seq = jax.lax.scan(enc_step, state["enc"],
+                                      (xs.swapaxes(0, 1), flush))
+        h_seq = h_seq.swapaxes(0, 1)                     # (B, T, D)
+
+    # --- look-ahead cnn as ONE batched valid conv over the carried window ---
+    win = jnp.concatenate([state["cnn_buf"][:, 1:].astype(h_seq.dtype), h_seq],
+                          axis=1)                        # (B, k-1+T, D)
+    y = nn.conv1d(params["cnn"], win, padding=[(0, 0)])  # (B, T, D)
+    new_cnn_buf = win[:, T - 1:T - 1 + cfg.lookahead_kernel].astype(dt)
+    emb = nn.l2_normalize(y)                             # (B, T, D)
+
+    t0 = state["t"]
+    valid = (t0[None, :] + jnp.arange(T)[:, None]) >= cfg.conv_delay  # (T, B)
+
+    # --- decoder: fused frame-scan kernel, states VMEM-resident ---
+    convert = params["dec"]["convert"]
+    wc = convert["kernel"].astype(emb.dtype)
+    embp = emb @ wc[:D]                                  # (B, T, D)
+    pe = nn.sinusoidal_table(cfg.pe_max_len, D)[:C].astype(emb.dtype)
+    pe_part = (pe @ wc[D:]).T                            # (D, C)
+    if "bias" in convert:
+        pe_part = pe_part + convert["bias"].astype(emb.dtype)[:, None]
+    pe_t = jnp.repeat(pe_part, B, axis=1)                # (D, C*B) slot-major
+
+    kv0, s0 = DFS.pack_dec_state(state["dec"], B, C)
+    packed = DFS.pack_dec_weights(params["dec"], cfg, emb.dtype)
+    logits_k, kv_f, s_f = DFS.dec_frame_scan(
+        embp.transpose(1, 2, 0), emb.transpose(1, 2, 0),
+        valid.astype(emb.dtype)[:, None, :], pe_t, *packed, kv0, s0,
+        C=C, interpret=interpret)
+    logits = logits_k.reshape(T, C, B).transpose(0, 2, 1)  # (T, B, C)
+    new_dec = DFS.unpack_dec_state(kv_f, s_f, B, C, cfg.n_heads,
+                                   like=state["dec"])
+
+    new_state = {"t": t0 + T, "enc": new_enc, "cnn_buf": new_cnn_buf,
+                 "dec": new_dec}
+    return new_state, (logits, valid)
+
+
 # ---------------------------------------------------------------------------
 # blockwise-recurrent streaming — MXU-granularity serving
 # ---------------------------------------------------------------------------

@@ -43,6 +43,10 @@ class StreamingServer:
     n_slots: int
     capacity: int = 4096      # fs only: max frames per call
     dtype: Any = jnp.float32
+    # ls only: run process_block with the attractor decoder fused into the
+    # Pallas frame-scan kernel (states VMEM-resident across the block) —
+    # same per-frame latency semantics, ~bandwidth-bound -> compute-bound
+    frame_kernel: bool = False
 
     def __post_init__(self):
         self.state = self._init_state()
@@ -89,6 +93,12 @@ class StreamingServer:
 
     # -- block of frames (throughput path) ---------------------------------
     def _block_impl(self, state, xs, flush):
+        if self.kind == "ls" and self.frame_kernel:
+            state, (logits, valid) = ls_eend.ls_stream_block_fused(
+                self.params, state, self.cfg, self.model_state, xs, flush,
+                self.n_slots)
+            return state, (self._probs(logits.swapaxes(0, 1)), valid)
+
         def body(carry, inp):
             x_t, fl = inp
             new_state, out = self._step_impl(carry, x_t, fl)

@@ -1,0 +1,98 @@
+"""Parity: fused per-frame-streaming block (Pallas decoder + encoder
+frame-scan kernels, interpret mode on CPU) vs scanning `ls_stream_step`
+frame by frame — the exact semantics StreamingServer._block_impl serves.
+
+Covers per-lane flush gating, per-lane clocks straddling conv_delay
+(valid-gated decoder state carry), multi-block state carry (non-zero
+entry scale -> the kernel's unnormalize/renormalize boundary), and
+invalid-lane logits (computed from the ephemeral updated state)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fseend_tpu.models import ls_eend
+
+CFG = ls_eend.LSEENDConfig(
+    in_size=20, n_units=64, n_heads=4, enc_n_layers=2, dec_n_layers=2,
+    conv_kernel_size=4, dec_dim_feedforward=48, conv_delay=2, max_nspks=3,
+    dropout=0.0)
+B, T, C = 4, 12, 3
+
+
+def _reference_block(params, state, mstate, xs, flush, n_slots):
+    def body(carry, inp):
+        x_t, fl = inp
+        new_state, out = ls_eend.ls_stream_step(params, carry, CFG, mstate,
+                                                x_t, n_slots, flush=fl)
+        return new_state, (out["logits"], out["valid"])
+
+    return jax.lax.scan(body, state, (xs.swapaxes(0, 1), flush))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params, mstate = ls_eend.init_ls_eend(jax.random.PRNGKey(3), CFG)
+    rng = np.random.default_rng(7)
+    xs = [jnp.asarray(rng.standard_normal((B, T, CFG.in_size)), jnp.float32)
+          for _ in range(2)]
+    return params, mstate, xs
+
+
+def _flush():
+    # lanes flush at different frames (lane 0 drains early, lane 3 never)
+    fl = np.zeros((T, B), bool)
+    fl[8:, 0] = True
+    fl[10:, 1] = True
+    return jnp.asarray(fl)
+
+
+@pytest.mark.parametrize("enc_kernel", [False, True])
+def test_block_fused_matches_stepwise_scan(setup, enc_kernel):
+    params, mstate, xs = setup
+    state0 = ls_eend.ls_stream_init(CFG, B, C)
+    # stagger the per-lane clocks so `valid` flips mid-block on some lanes
+    state0 = dict(state0, t=jnp.asarray([0, 1, CFG.conv_delay, 5], jnp.int32))
+    flush = _flush()
+
+    ref_state, (ref_logits, ref_valid) = _reference_block(
+        params, state0, mstate, xs[0], flush, C)
+    state0b = dict(state0, t=jnp.asarray([0, 1, CFG.conv_delay, 5], jnp.int32))
+    new_state, (logits, valid) = ls_eend.ls_stream_block_fused(
+        params, state0b, CFG, mstate, xs[0], flush, C, interpret=True,
+        enc_kernel=enc_kernel)
+
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(ref_valid))
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               atol=2e-4)
+    for got, want in zip(jax.tree.leaves(new_state), jax.tree.leaves(ref_state)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4)
+
+
+@pytest.mark.parametrize("enc_kernel", [False, True])
+def test_block_fused_second_block_carries_state(setup, enc_kernel):
+    """Second consecutive block: entry decoder scale > 0 exercises the
+    kernel's state un/re-normalization boundary."""
+    params, mstate, xs = setup
+    flush = jnp.zeros((T, B), bool)
+
+    state = ls_eend.ls_stream_init(CFG, B, C)
+    state, _ = _reference_block(params, state, mstate, xs[0], flush, C)
+    ref_state, (ref_logits, _) = _reference_block(
+        params, state, mstate, xs[1], flush, C)
+
+    state_f = ls_eend.ls_stream_init(CFG, B, C)
+    state_f, _ = ls_eend.ls_stream_block_fused(
+        params, state_f, CFG, mstate, xs[0], flush, C, interpret=True,
+        enc_kernel=enc_kernel)
+    new_state, (logits, _) = ls_eend.ls_stream_block_fused(
+        params, state_f, CFG, mstate, xs[1], flush, C, interpret=True,
+        enc_kernel=enc_kernel)
+
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               atol=5e-4)
+    for got, want in zip(jax.tree.leaves(new_state), jax.tree.leaves(ref_state)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-4)
