@@ -29,6 +29,10 @@ def main():
     parser.add_argument("--block", type=int, default=0,
                         help="blockwise-recurrent mode with this block size "
                              "(0 = per-frame recurrent scan)")
+    parser.add_argument("--frame_kernel", action="store_true",
+                        help="LS per-frame mode only: run the fused Pallas "
+                             "frame-scan kernels (states VMEM-resident) "
+                             "instead of the XLA per-frame scan")
     parser.add_argument("--device_frontend", action="store_true",
                         help="consume RAW AUDIO blocks: on-device "
                              "StreamingLogmel featurizer feeding the block "
@@ -88,8 +92,12 @@ def main():
                                             n_slots, block=args.block)
     elif task.model == "ls":
         st = ls_eend.ls_stream_init(model_cfg, 1, n_slots)
-        logits, _ = ls_eend.ls_stream_scan(params, st, model_cfg, mstate, xs,
-                                           n_slots)
+        if args.frame_kernel:
+            logits = ls_eend.ls_stream_scan_fused(params, st, model_cfg,
+                                                  mstate, xs, n_slots)
+        else:
+            logits, _ = ls_eend.ls_stream_scan(params, st, model_cfg, mstate,
+                                               xs, n_slots)
     elif args.block:
         logits = fs_eend.fs_blockstream_run(params, model_cfg, mstate["bn"], xs,
                                             n_slots, block=args.block)

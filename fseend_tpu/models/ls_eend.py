@@ -469,9 +469,28 @@ def ls_stream_scan(params: Params, state: Params, cfg: LSEENDConfig, model_state
     return logits[cfg.conv_delay:].swapaxes(0, 1), emb[cfg.conv_delay:].swapaxes(0, 1)
 
 
+def ls_stream_scan_fused(params: Params, state: Params, cfg: LSEENDConfig,
+                         model_state, xs: jnp.ndarray, n_slots: int,
+                         interpret: bool | None = None,
+                         enc_kernel: bool = True) -> jnp.ndarray:
+    """Whole-clip per-frame-semantics inference through the frame-scan
+    kernels — drop-in for `ls_stream_scan`'s logits (same conv-delay
+    alignment: pads the clip and drains the look-ahead with flush steps)."""
+    B, T, F = xs.shape
+    pad = jnp.zeros((B, cfg.conv_delay, F), xs.dtype)
+    seq = jnp.concatenate([xs, pad], axis=1)
+    flush = jnp.broadcast_to(
+        (jnp.arange(T + cfg.conv_delay) >= T)[:, None],
+        (T + cfg.conv_delay, B))
+    _, (logits, _valid) = ls_stream_block_fused(
+        params, state, cfg, model_state, seq, flush, n_slots,
+        interpret=interpret, enc_kernel=enc_kernel)
+    return logits[cfg.conv_delay:].swapaxes(0, 1)
+
+
 def ls_stream_block_fused(params: Params, state: Params, cfg: LSEENDConfig,
                           model_state, xs: jnp.ndarray, flush: jnp.ndarray,
-                          n_slots: int, interpret: bool = False,
+                          n_slots: int, interpret: bool | None = None,
                           enc_kernel: bool = True):
     """K-frame per-frame-streaming block with the DECODER fused into one
     Pallas frame-scan kernel (kernels/dec_frame_scan_pallas.py).
@@ -486,6 +505,8 @@ def ls_stream_block_fused(params: Params, state: Params, cfg: LSEENDConfig,
     Returns (new_state, (logits (K, B, C) f32, valid (K, B)))."""
     from fseend_tpu.kernels import dec_frame_scan_pallas as DFS
 
+    if interpret is None:  # off-TPU (tests, CPU mesh) -> interpreter kernels
+        interpret = jax.default_backend() != "tpu"
     B, T, _ = xs.shape
     C = n_slots
     D = cfg.n_units

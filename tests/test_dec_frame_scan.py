@@ -71,6 +71,39 @@ def test_block_fused_matches_stepwise_scan(setup, enc_kernel):
                                    atol=2e-4)
 
 
+def test_stream_scan_fused_matches_scan(setup):
+    """Whole-clip helper: conv-delay alignment identical to ls_stream_scan."""
+    params, mstate, xs = setup
+    st = ls_eend.ls_stream_init(CFG, B, C)
+    ref, _ = ls_eend.ls_stream_scan(params, st, CFG, mstate, xs[0], C)
+    st2 = ls_eend.ls_stream_init(CFG, B, C)
+    got = ls_eend.ls_stream_scan_fused(params, st2, CFG, mstate, xs[0], C)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_streaming_server_frame_kernel_matches(setup):
+    """StreamingServer(frame_kernel=True) serves identical probs/valid to the
+    stepwise server (kernels auto-select interpret mode off-TPU)."""
+    from fseend_tpu.serving.runtime import StreamingServer
+
+    params, mstate, xs = setup
+    mk = lambda fk: StreamingServer(kind="ls", cfg=CFG, params=params,
+                                    model_state=mstate, n_lanes=B, n_slots=C,
+                                    frame_kernel=fk)
+    sref, sfus = mk(False), mk(True)
+    for blk in xs:
+        p0, v0 = sref.process_block(blk)
+        p1, v1 = sfus.process_block(blk)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), atol=2e-4)
+    # lane reset reproduces a fresh stream through the fused path too
+    sfus.reset_lanes([1])
+    sref.reset_lanes([1])
+    p0, _ = sref.process_block(xs[0])
+    p1, _ = sfus.process_block(xs[0])
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), atol=2e-4)
+
+
 @pytest.mark.parametrize("enc_kernel", [False, True])
 def test_block_fused_second_block_carries_state(setup, enc_kernel):
     """Second consecutive block: entry decoder scale > 0 exercises the
