@@ -71,6 +71,34 @@ def test_block_fused_matches_stepwise_scan(setup, enc_kernel):
                                    atol=2e-4)
 
 
+def test_bf16_drift_no_worse_than_xla_scan(setup):
+    """bf16 serving: the fused kernels' drift from the f32 oracle stays in
+    the same class as the XLA per-frame scan's bf16 drift (the kernels carry
+    the unnormalized-KV form; this pins that it doesn't degrade numerics)."""
+    params, mstate, xs = setup
+    flush = jnp.zeros((T, B), bool)
+
+    state = ls_eend.ls_stream_init(CFG, B, C)
+    _, (oracle, _) = _reference_block(params, state, mstate, xs[0], flush, C)
+
+    dt = jnp.bfloat16
+    cast = lambda t: jax.tree.map(
+        lambda x: x.astype(dt) if hasattr(x, "dtype") and x.dtype == jnp.float32
+        else x, t)
+    params_h, mstate_h = cast(params), cast(mstate)
+    xs_h = xs[0].astype(dt)
+
+    st_x = ls_eend.ls_stream_init(CFG, B, C, dt)
+    _, (lx, _) = _reference_block(params_h, st_x, mstate_h, xs_h, flush, C)
+    st_f = ls_eend.ls_stream_init(CFG, B, C, dt)
+    _, (lf, _) = ls_eend.ls_stream_block_fused(
+        params_h, st_f, CFG, mstate_h, xs_h, flush, C, interpret=True)
+
+    err_xla = float(jnp.max(jnp.abs(lx - oracle)))
+    err_fused = float(jnp.max(jnp.abs(lf - oracle)))
+    assert err_fused <= 3.0 * err_xla + 1e-3, (err_fused, err_xla)
+
+
 def test_stream_scan_fused_matches_scan(setup):
     """Whole-clip helper: conv-delay alignment identical to ls_stream_scan."""
     params, mstate, xs = setup

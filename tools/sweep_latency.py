@@ -53,14 +53,17 @@ def _sync(x):
     return np.asarray(jnp.ravel(arr)[0])
 
 
-def measure_perframe(cfg, params, mstate, lanes, dt, n_frames=2000):
+def measure_perframe(cfg, params, mstate, lanes, dt, n_frames=2000,
+                     frame_kernel=False):
     """Fused per-frame scan via StreamingServer.process_block (scan of
     ls_stream_step; K here only amortizes dispatch, semantics stay
-    frame-level)."""
+    frame-level). frame_kernel=True swaps in the Pallas frame-scan
+    kernels (states VMEM-resident across the 500-frame call)."""
     rng = np.random.default_rng(0)
     server = StreamingServer(kind="ls", cfg=cfg, params=params,
                              model_state=mstate, n_lanes=lanes,
-                             n_slots=cfg.max_nspks, dtype=dt)
+                             n_slots=cfg.max_nspks, dtype=dt,
+                             frame_kernel=frame_kernel)
     xs = jax.device_put(jnp.asarray(
         rng.standard_normal((lanes, 500, cfg.in_size)), dt))
     p, _ = server.process_block(xs)
@@ -73,7 +76,8 @@ def measure_perframe(cfg, params, mstate, lanes, dt, n_frames=2000):
     el = time.perf_counter() - t0
     fps = lanes * 500 * n_rep / el
     step_ms = el / (500 * n_rep) * 1e3
-    return {"mode": "per-frame", "K": 1, "lanes": lanes,
+    return {"mode": "per-frame-kernel" if frame_kernel else "per-frame",
+            "K": 1, "lanes": lanes,
             "frames_per_sec": round(fps, 1),
             "rt_per_lane": round(fps / lanes / FRAME_HZ, 1),
             "device_block_ms": round(step_ms, 3),
@@ -132,6 +136,11 @@ def main():
         r = measure_perframe(cfg, params, mstate, lanes, dt)
         rows.append(r)
         print(json.dumps(r), flush=True)
+        if lanes % 128 == 0:  # frame-scan kernels want 128-aligned lanes
+            r = measure_perframe(cfg, params, mstate, lanes, dt,
+                                 frame_kernel=True)
+            rows.append(r)
+            print(json.dumps(r), flush=True)
     for lanes in (int(s) for s in args.lanes.split(",")):
         for K in (int(s) for s in args.Ks.split(",")):
             r = measure_blockwise(cfg, params, mstate, lanes, K, dt)
