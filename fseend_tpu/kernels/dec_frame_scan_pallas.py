@@ -91,15 +91,18 @@ def _kernel(embp_ref, embn_ref, valid_ref, pe_ref,
             logits_ref, kvf_ref, sf_ref,
             s_scr, sem,
             *, L: int, H: int, dk: int, dv: int, C: int, B: int, T: int):
-    t = pl.program_id(0)
+    g = pl.program_id(0)
+    t = pl.program_id(1)
     D = H * dk
     N = C * B
     f32 = jnp.float32
 
-    # ---- t==0: seed VMEM-resident state from HBM, un-normalize ----
+    # ---- t==0 (per lane group): seed the VMEM-resident state from HBM,
+    # un-normalize ----
     @pl.when(t == 0)
     def _():
-        dma = pltpu.make_async_copy(kv0_ref, kvf_ref, sem)
+        dma = pltpu.make_async_copy(
+            kv0_ref.at[:, :, :, :, pl.ds(g * N, N)], kvf_ref, sem)
         dma.start()
         dma.wait()
         s_scr[...] = s0_ref[...].astype(f32)
@@ -192,26 +195,33 @@ def _kernel(embp_ref, embn_ref, valid_ref, pe_ref,
         sf_ref[...] = s_scr[...].astype(sf_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("C", "interpret"))
+@functools.partial(jax.jit, static_argnames=("C", "groups", "interpret"))
 def dec_frame_scan(embp, embn, valid, pe_t,
                    w_qkvg, b_qkvg, w_ro, b_ro, w_mi, b_mi, w_mo, b_mo,
                    w_f1, b_f1, w_f2, b_f2, ln_s, ln_b,
-                   kv0, s0, *, C: int, interpret: bool = False):
-    """embp/embn: (T, D, B); valid: (T, 1, B); pe_t: (D, C*B);
+                   kv0, s0, *, C: int, groups: int = 1,
+                   interpret: bool = False):
+    """embp/embn: (T, D, B); valid: (T, 1, B); pe_t: (D, C*B/groups);
     stacked per-layer weights lead with L; kv0: (L, H, dv, dk, C*B)
-    (slot-major lanes, NORMALIZED like the model state); s0: (L, 1, C*B)
-    -> (logits (T, 1, C*B) f32, kv_f like kv0, s_f like s0)."""
+    (group-major, then slot-major lanes; NORMALIZED like the model state);
+    s0: (L, 1, C*B) -> (logits (T, 1, C*B) f32, kv_f like kv0, s_f like s0).
+
+    `groups` splits the B lanes into independent scans so each holds only
+    state/groups bytes in VMEM (grid = (groups, T), T minor)."""
     T, D, B = embp.shape
-    L, H, dv, dk, N = kv0.shape
-    assert N == C * B
-    wspec = lambda a: pl.BlockSpec(a.shape, lambda t, _n=a.ndim: (0,) * _n)
+    L, H, dv, dk, Nt = kv0.shape
+    G = groups
+    assert B % G == 0 and Nt == C * B
+    Bg = B // G
+    N = C * Bg
+    wspec = lambda a: pl.BlockSpec(a.shape, lambda g, t, _n=a.ndim: (0,) * _n)
     return pl.pallas_call(
-        functools.partial(_kernel, L=L, H=H, dk=dk, dv=dv, C=C, B=B, T=T),
-        grid=(T,),
+        functools.partial(_kernel, L=L, H=H, dk=dk, dv=dv, C=C, B=Bg, T=T),
+        grid=(G, T),
         in_specs=[
-            pl.BlockSpec((1, D, B), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, D, B), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, D, Bg), lambda g, t: (t, 0, g)),
+            pl.BlockSpec((1, D, Bg), lambda g, t: (t, 0, g)),
+            pl.BlockSpec((1, 1, Bg), lambda g, t: (t, 0, g)),
             wspec(pe_t),
             wspec(w_qkvg), wspec(b_qkvg), wspec(w_ro), wspec(b_ro),
             wspec(w_mi), wspec(b_mi), wspec(w_mo), wspec(b_mo),
@@ -220,15 +230,15 @@ def dec_frame_scan(embp, embn, valid, pe_t,
             # incoming state stays in HBM; DMA'd into the resident out block
             # at t==0 so VMEM holds ONE copy of the 84 MB state, not two
             pl.BlockSpec(memory_space=pl.ANY),
-            wspec(s0),
+            pl.BlockSpec((L, 1, N), lambda g, t: (0, 0, g)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, N), lambda t: (t, 0, 0)),
-            pl.BlockSpec(kv0.shape, lambda t: (0,) * kv0.ndim),
-            pl.BlockSpec(s0.shape, lambda t: (0,) * s0.ndim),
+            pl.BlockSpec((1, 1, N), lambda g, t: (t, 0, g)),
+            pl.BlockSpec((L, H, dv, dk, N), lambda g, t: (0, 0, 0, 0, g)),
+            pl.BlockSpec((L, 1, N), lambda g, t: (0, 0, g)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, 1, N), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, C * B), jnp.float32),
             jax.ShapeDtypeStruct(kv0.shape, kv0.dtype),
             jax.ShapeDtypeStruct(s0.shape, s0.dtype),
         ],
@@ -299,25 +309,45 @@ def pack_dec_weights(dec_params: dict, cfg, dt):
             st(bmo), st(wf1), st(bf1), st(wf2), st(bf2), st(lns), st(lnb))
 
 
-def pack_dec_state(dec_states: list, B: int, C: int):
+def pick_groups(B: int, C: int, H: int, dv: int, dk: int, L: int,
+                itemsize: int) -> int:
+    """Smallest lane-group count whose per-group state slice fits the VMEM
+    budget (`FSEEND_FRAMESCAN_VMEM_MB`, default sized for the v5e's 128 MB
+    minus weights/activations). Bg stays 128-aligned when possible so the
+    slot-MHA lane slices avoid relayouts."""
+    import os
+
+    budget = int(os.environ.get("FSEEND_FRAMESCAN_VMEM_MB",
+                                "96")) * 1024 * 1024
+    total = L * H * dv * dk * C * B * itemsize
+    for g in range(1, B + 1):
+        if B % g == 0 and total // g <= budget:
+            return g
+    return B
+
+
+def pack_dec_state(dec_states: list, B: int, C: int, groups: int = 1):
     """[{'kv': (B*C, H, dv, dk), 'scale': (B*C, H)}] (b-major lanes) ->
-    (kv (L, H, dv, dk, C*B) slot-major, s (L, 1, C*B) f32)."""
+    (kv (L, H, dv, dk, C*B) group-major then slot-major, s (L, 1, C*B) f32)."""
     kv = jnp.stack([st["kv"] for st in dec_states])          # (L, BC, H, dv, dk)
     L, _, H, dv, dk = kv.shape
-    kv = kv.reshape(L, B, C, H, dv, dk).transpose(0, 3, 4, 5, 2, 1)
+    G, Bg = groups, B // groups
+    kv = kv.reshape(L, G, Bg, C, H, dv, dk).transpose(0, 4, 5, 6, 1, 3, 2)
     kv = kv.reshape(L, H, dv, dk, C * B)
     s = jnp.stack([st["scale"][:, 0] for st in dec_states])  # gamma=1: heads eq
-    s = s.reshape(L, B, C).transpose(0, 2, 1).reshape(L, 1, C * B)
+    s = s.reshape(L, G, Bg, C).transpose(0, 1, 3, 2).reshape(L, 1, C * B)
     return kv, s.astype(jnp.float32)
 
 
-def unpack_dec_state(kv_f, s_f, B: int, C: int, H: int, like: list):
+def unpack_dec_state(kv_f, s_f, B: int, C: int, H: int, like: list,
+                     groups: int = 1):
     """Inverse of pack_dec_state, cast back to the server state's dtypes."""
     L = kv_f.shape[0]
     dv, dk = kv_f.shape[2], kv_f.shape[3]
-    kv = kv_f.reshape(L, H, dv, dk, C, B).transpose(0, 5, 4, 1, 2, 3)
+    G, Bg = groups, B // groups
+    kv = kv_f.reshape(L, H, dv, dk, G, C, Bg).transpose(0, 4, 6, 5, 1, 2, 3)
     kv = kv.reshape(L, B * C, H, dv, dk)
-    s = s_f.reshape(L, C, B).transpose(0, 2, 1).reshape(L, B * C)
+    s = s_f.reshape(L, G, C, Bg).transpose(0, 1, 3, 2).reshape(L, B * C)
     return [{"kv": kv[l].astype(like[l]["kv"].dtype),
              "scale": jnp.broadcast_to(s[l][:, None], (B * C, H))
              .astype(like[l]["scale"].dtype)}

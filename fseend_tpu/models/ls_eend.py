@@ -571,17 +571,21 @@ def ls_stream_block_fused(params: Params, state: Params, cfg: LSEENDConfig,
     pe_part = (pe @ wc[D:]).T                            # (D, C)
     if "bias" in convert:
         pe_part = pe_part + convert["bias"].astype(emb.dtype)[:, None]
-    pe_t = jnp.repeat(pe_part, B, axis=1)                # (D, C*B) slot-major
+    dkv0 = state["dec"][0]["kv"]
+    G = DFS.pick_groups(B, C, cfg.n_heads, dkv0.shape[2], dkv0.shape[3],
+                        cfg.dec_n_layers, dkv0.dtype.itemsize)
+    pe_t = jnp.repeat(pe_part, B // G, axis=1)           # (D, C*Bg) slot-major
 
-    kv0, s0 = DFS.pack_dec_state(state["dec"], B, C)
+    kv0, s0 = DFS.pack_dec_state(state["dec"], B, C, groups=G)
     packed = DFS.pack_dec_weights(params["dec"], cfg, emb.dtype)
     logits_k, kv_f, s_f = DFS.dec_frame_scan(
         embp.transpose(1, 2, 0), emb.transpose(1, 2, 0),
         valid.astype(emb.dtype)[:, None, :], pe_t, *packed, kv0, s0,
-        C=C, interpret=interpret)
-    logits = logits_k.reshape(T, C, B).transpose(0, 2, 1)  # (T, B, C)
+        C=C, groups=G, interpret=interpret)
+    logits = (logits_k.reshape(T, G, C, B // G).transpose(0, 1, 3, 2)
+              .reshape(T, B, C))
     new_dec = DFS.unpack_dec_state(kv_f, s_f, B, C, cfg.n_heads,
-                                   like=state["dec"])
+                                   like=state["dec"], groups=G)
 
     new_state = {"t": t0 + T, "enc": new_enc, "cnn_buf": new_cnn_buf,
                  "dec": new_dec}

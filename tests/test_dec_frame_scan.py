@@ -71,6 +71,25 @@ def test_block_fused_matches_stepwise_scan(setup, enc_kernel):
                                    atol=2e-4)
 
 
+def test_block_fused_lane_groups(setup, monkeypatch):
+    """Tiny VMEM budget -> maximal lane-grouping (grid=(G,T)); parity must
+    hold with per-group state slices."""
+    monkeypatch.setenv("FSEEND_FRAMESCAN_VMEM_MB", "0")
+    params, mstate, xs = setup
+    state0 = ls_eend.ls_stream_init(CFG, B, C)
+    flush = _flush()
+    ref_state, (ref_logits, _) = _reference_block(
+        params, state0, mstate, xs[0], flush, C)
+    state0b = ls_eend.ls_stream_init(CFG, B, C)
+    new_state, (logits, _) = ls_eend.ls_stream_block_fused(
+        params, state0b, CFG, mstate, xs[0], flush, C, interpret=True)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               atol=2e-4)
+    for got, want in zip(jax.tree.leaves(new_state), jax.tree.leaves(ref_state)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4)
+
+
 def test_bf16_drift_no_worse_than_xla_scan(setup):
     """bf16 serving: the fused kernels' drift from the f32 oracle stays in
     the same class as the XLA per-frame scan's bf16 drift (the kernels carry
