@@ -159,28 +159,38 @@ def main():
             _RESULT["ondevice_frame_ms"] = round(dev_ms, 3)
 
             # --- mode 1b: per-frame semantics, frame-scan Pallas kernels
-            # (decoder+encoder states VMEM-resident across the block) ---
+            # (decoder+encoder states VMEM-resident across the block).
+            # Fail-safe: a Mosaic/VMEM rejection must not sink the whole
+            # bench — the XLA modes above/below still produce the artifact.
             if not os.environ.get("BENCH_SKIP_FRAMEKERNEL"):
-                serverk = StreamingServer(kind="ls", cfg=cfg, params=params,
-                                          model_state=mstate, n_lanes=lanes,
-                                          n_slots=cfg.max_nspks, dtype=dt,
-                                          frame_kernel=True)
-                p, _ = serverk.process_block(xs)
-                _sync(p)
-                t0 = time.perf_counter()
-                for _ in range(n_rep):
+                try:
+                    serverk = StreamingServer(kind="ls", cfg=cfg,
+                                              params=params,
+                                              model_state=mstate,
+                                              n_lanes=lanes,
+                                              n_slots=cfg.max_nspks, dtype=dt,
+                                              frame_kernel=True)
                     p, _ = serverk.process_block(xs)
-                _sync(p)
-                el1k = time.perf_counter() - t0
-                fps1k = lanes * block * n_rep / el1k
-                _record(fps1k, f"per-frame frame-scan kernel (lanes={lanes}, "
-                               f"{fps1k / lanes / 10:.0f}x realtime/lane)")
-                devk_ms = el1k / (block * n_rep) * 1e3
-                print(f"[bench] on-device frame-step latency [frame-kernel]: "
-                      f"{devk_ms:.3f} ms ({lanes} lanes/step)",
-                      file=sys.stderr, flush=True)
-                _RESULT["ondevice_frame_ms_kernel"] = round(devk_ms, 3)
-                del serverk
+                    _sync(p)
+                    t0 = time.perf_counter()
+                    for _ in range(n_rep):
+                        p, _ = serverk.process_block(xs)
+                    _sync(p)
+                    el1k = time.perf_counter() - t0
+                    fps1k = lanes * block * n_rep / el1k
+                    _record(fps1k,
+                            f"per-frame frame-scan kernel (lanes={lanes}, "
+                            f"{fps1k / lanes / 10:.0f}x realtime/lane)")
+                    devk_ms = el1k / (block * n_rep) * 1e3
+                    print(f"[bench] on-device frame-step latency "
+                          f"[frame-kernel]: {devk_ms:.3f} ms "
+                          f"({lanes} lanes/step)", file=sys.stderr, flush=True)
+                    _RESULT["ondevice_frame_ms_kernel"] = round(devk_ms, 3)
+                    del serverk
+                except Exception as e:  # pragma: no cover - chip-only path
+                    print(f"[bench] frame-scan kernel mode failed "
+                          f"({type(e).__name__}): {str(e)[:300]}",
+                          file=sys.stderr, flush=True)
 
             # wall p50 of a single un-pipelined dispatch (relay overhead incl.)
             x1 = xs[:, :1]
