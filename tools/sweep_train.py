@@ -115,25 +115,29 @@ def part_b(cfg, S=4):
     rows = []
     env = os.environ.get("SWEEP_VARIANTS")
     if env:
-        # "bf16:64:500:125:0,bf16:16:500:64:0" -> (dtype, B, T, chunk, remat)
+        # "bf16:64:500:125:0[:fused],..." -> (dtype, B, T, chunk, remat,
+        # use_fused_ret) — the optional 6th field routes retention layers
+        # through the fused Pallas kernel (recompute-backward)
         variants = []
         for spec in env.split(","):
-            d, B, T, c, r = spec.split(":")
-            variants.append((d, int(B), int(T), int(c), bool(int(r))))
+            d, B, T, c, r, *f = spec.split(":")
+            variants.append((d, int(B), int(T), int(c), bool(int(r)),
+                             bool(int(f[0])) if f else False))
     else:
         variants = []
         for dtype in ("f32", "bf16"):
             for B, T in ((16, 500), (32, 500), (64, 500)):
-                variants.append((dtype, B, T, cfg.chunk_size, False))
+                variants.append((dtype, B, T, cfg.chunk_size, False, False))
         # chunk-size variants at the bf16 default batch
         for chunk in (125, 250):
-            variants.append(("bf16", 16, 500, chunk, False))
+            variants.append(("bf16", 16, 500, chunk, False, False))
         # remat at the default
-        variants.append(("bf16", 16, 500, cfg.chunk_size, True))
-        variants.append(("bf16", 64, 2000, cfg.chunk_size, False))
+        variants.append(("bf16", 16, 500, cfg.chunk_size, True, False))
+        variants.append(("bf16", 64, 2000, cfg.chunk_size, False, False))
 
-    for dtype, B, T, chunk, remat in variants:
-        vcfg = dataclasses.replace(cfg, chunk_size=chunk, remat=remat)
+    for dtype, B, T, chunk, remat, fused in variants:
+        vcfg = dataclasses.replace(cfg, chunk_size=chunk, remat=remat,
+                                   use_fused_ret=fused)
         task = trainer.TaskConfig(model="ls", label_mode="fixed",
                                   masked_emb_loss=True, compute_dtype=dtype)
         tx = optim.build_optimizer("noam", d_model=cfg.n_units,
@@ -155,13 +159,15 @@ def part_b(cfg, S=4):
             el = time.perf_counter() - t0
             fps = B * T * n / el
             mfu = bench._mfu(flops, n, el)
-            rows.append((dtype, B, T, chunk, remat, el / n * 1e3, fps, mfu))
+            rows.append((dtype, B, T, chunk, remat, fused, el / n * 1e3, fps, mfu))
             print(f"dtype={dtype:4s} B={B:3d} T={T:5d} chunk={chunk:3d} "
-                  f"remat={int(remat)}: {el / n * 1e3:7.1f} ms/step "
+                  f"remat={int(remat)} fused={int(fused)}: "
+                  f"{el / n * 1e3:7.1f} ms/step "
                   f"{fps:9.0f} f/s  MFU "
                   f"{100 * mfu if mfu else float('nan'):.2f}%", flush=True)
         except Exception as e:
-            print(f"dtype={dtype} B={B} T={T} chunk={chunk} remat={remat}: "
+            print(f"dtype={dtype} B={B} T={T} chunk={chunk} remat={remat} "
+                  f"fused={int(fused)}: "
                   f"FAILED {type(e).__name__}: {e}", flush=True)
     return rows
 
