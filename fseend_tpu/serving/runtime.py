@@ -47,6 +47,9 @@ class StreamingServer:
     # Pallas frame-scan kernel (states VMEM-resident across the block) —
     # same per-frame latency semantics, ~bandwidth-bound -> compute-bound
     frame_kernel: bool = False
+    # with frame_kernel: also run the conformer encoder as a frame-scan
+    # kernel (False = XLA per-frame scan for the encoder only)
+    frame_kernel_enc: bool = True
 
     def __post_init__(self):
         self.state = self._init_state()
@@ -96,7 +99,7 @@ class StreamingServer:
         if self.kind == "ls" and self.frame_kernel:
             state, (logits, valid) = ls_eend.ls_stream_block_fused(
                 self.params, state, self.cfg, self.model_state, xs, flush,
-                self.n_slots)
+                self.n_slots, enc_kernel=self.frame_kernel_enc)
             return state, (self._probs(logits.swapaxes(0, 1)), valid)
 
         def body(carry, inp):
