@@ -151,6 +151,33 @@ def test_streaming_server_frame_kernel_matches(setup):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), atol=2e-4)
 
 
+def test_continuous_batcher_over_frame_kernel_server(setup):
+    """The production scheduler (ContinuousBatcher: arrivals mid-flight,
+    lane reuse, per-lane flush) composes with the fused frame-scan server —
+    results match the stepwise-scan server for every multiplexed stream."""
+    from fseend_tpu.serving.runtime import StreamingServer
+    from fseend_tpu.serving.scheduler import ContinuousBatcher
+
+    params, mstate, _ = setup
+    rng = np.random.default_rng(11)
+    streams = {f"s{i}": rng.standard_normal((t, CFG.in_size))
+               .astype(np.float32) for i, t in enumerate([7, 15, 4, 11])}
+
+    def run(fk):
+        srv = StreamingServer(kind="ls", cfg=CFG, params=params,
+                              model_state=mstate, n_lanes=2, n_slots=C,
+                              frame_kernel=fk)
+        cb = ContinuousBatcher(srv, block=6)
+        for sid, feats in streams.items():
+            cb.submit(sid, feats)
+        return cb.run()
+
+    ref, got = run(False), run(True)
+    assert set(got) == set(ref)
+    for sid in streams:
+        np.testing.assert_allclose(got[sid], ref[sid], atol=2e-4)
+
+
 @pytest.mark.parametrize("enc_kernel", [False, True])
 def test_block_fused_second_block_carries_state(setup, enc_kernel):
     """Second consecutive block: entry decoder scale > 0 exercises the
