@@ -164,11 +164,19 @@ def main():
             # bench — the XLA modes above/below still produce the artifact.
             if not os.environ.get("BENCH_SKIP_FRAMEKERNEL"):
                 # Mosaic VMEM OOM at lane-group G=1 must not sink the mode:
-                # retry with smaller budgets (forces G=2/4/... in
+                # retry with smaller decoder budgets (forces G=2/4/... in
                 # kernels/dec_frame_scan_pallas.pick_groups, re-read per
-                # fresh server) before giving up.
-                for vmem_mb in (None, 48, 24):
-                    if vmem_mb is not None:
+                # fresh server), then without the encoder kernel (the
+                # encoder has no lane-group fallback) before giving up.
+                # The user's own FSEEND_FRAMESCAN_VMEM_MB is restored after.
+                env_budget = os.environ.get("FSEEND_FRAMESCAN_VMEM_MB")
+                for vmem_mb, enc_k in ((None, True), (48, True), (24, True),
+                                       (None, False), (48, False)):
+                    if vmem_mb is None:
+                        os.environ.pop("FSEEND_FRAMESCAN_VMEM_MB", None)
+                        if env_budget is not None:
+                            os.environ["FSEEND_FRAMESCAN_VMEM_MB"] = env_budget
+                    else:
                         os.environ["FSEEND_FRAMESCAN_VMEM_MB"] = str(vmem_mb)
                     try:
                         serverk = StreamingServer(kind="ls", cfg=cfg,
@@ -177,7 +185,8 @@ def main():
                                                   n_lanes=lanes,
                                                   n_slots=cfg.max_nspks,
                                                   dtype=dt,
-                                                  frame_kernel=True)
+                                                  frame_kernel=True,
+                                                  frame_kernel_enc=enc_k)
                         p, _ = serverk.process_block(xs)
                         _sync(p)
                         t0 = time.perf_counter()
@@ -188,6 +197,7 @@ def main():
                         fps1k = lanes * block * n_rep / el1k
                         _record(fps1k,
                                 f"per-frame frame-scan kernel (lanes={lanes}, "
+                                f"enc_kernel={enc_k}, "
                                 f"{fps1k / lanes / 10:.0f}x realtime/lane)")
                         devk_ms = el1k / (block * n_rep) * 1e3
                         print(f"[bench] on-device frame-step latency "
@@ -199,8 +209,13 @@ def main():
                         break
                     except Exception as e:  # pragma: no cover - chip-only
                         print(f"[bench] frame-scan kernel mode failed "
-                              f"(vmem_mb={vmem_mb}, {type(e).__name__}): "
+                              f"(vmem_mb={vmem_mb}, enc_kernel={enc_k}, "
+                              f"{type(e).__name__}): "
                               f"{str(e)[:300]}", file=sys.stderr, flush=True)
+                if env_budget is None:
+                    os.environ.pop("FSEEND_FRAMESCAN_VMEM_MB", None)
+                else:
+                    os.environ["FSEEND_FRAMESCAN_VMEM_MB"] = env_budget
 
             # wall p50 of a single un-pipelined dispatch (relay overhead incl.)
             x1 = xs[:, :1]

@@ -61,6 +61,10 @@ def main():
     xs = jnp.asarray(feats)[None]
     n_slots = data["max_speakers"] + 2
 
+    if args.frame_kernel and (args.block or task.model != "ls"):
+        parser.error("--frame_kernel applies to the LS per-frame mode only "
+                     "(drop --block; fs has no frame-scan kernel)")
+
     t0 = time.perf_counter()
     if args.device_frontend:
         if not args.block:

@@ -58,29 +58,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+from fseend_tpu.kernels._common import mm as _mm, ln as _ln, t_ as _t, b_ as _b
+
+
 def _tile(x, reps: int):
     """Lane-tile (R, B) -> (R, reps*B): slot-major copies; B is 128-aligned
     so this is vreg concatenation, not a relayout."""
     if reps == 1:
         return x
     return jnp.concatenate([x] * reps, axis=-1)
-
-
-def _mm(w, x, b=None):
-    """(O, I) @ (I, N) -> (O, N) f32 accumulate (+ bias (O, 1))."""
-    y = jax.lax.dot_general(w, x, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    if b is not None:
-        y = y + b.astype(jnp.float32)
-    return y
-
-
-def _ln(x32, scale, bias, eps=1e-5):
-    """LayerNorm over the feature (sublane) axis of (D, N), f32 in/out."""
-    mu = jnp.mean(x32, axis=0, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mu), axis=0, keepdims=True)
-    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
-    return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
 
 
 def _kernel(embp_ref, embn_ref, valid_ref, pe_ref,
@@ -256,18 +242,6 @@ def dec_frame_scan(embp, embn, valid, pe_t,
 # ---------------------------------------------------------------------------
 
 
-def _t(p, key, dt):
-    """Transposed kernel (O, I) of a linear's (I, O) weight."""
-    return p[key]["kernel"].astype(dt).T
-
-
-def _b(p, key, width, dt):
-    b = p[key].get("bias")
-    if b is None:
-        b = jnp.zeros((width,), jnp.float32)
-    return b.astype(dt).reshape(-1, 1)
-
-
 def pack_dec_weights(dec_params: dict, cfg, dt):
     """Stack the decoder fusion layers' weights into the kernel's transposed,
     L-leading operands. dec_params = params['dec'] of models/ls_eend.py."""
@@ -320,10 +294,12 @@ def pick_groups(B: int, C: int, H: int, dv: int, dk: int, L: int,
     budget = int(os.environ.get("FSEEND_FRAMESCAN_VMEM_MB",
                                 "96")) * 1024 * 1024
     total = L * H * dv * dk * C * B * itemsize
-    for g in range(1, B + 1):
-        if B % g == 0 and total // g <= budget:
-            return g
-    return B
+    fitting = [g for g in range(1, B + 1)
+               if B % g == 0 and total // g <= budget]
+    if not fitting:
+        return B
+    aligned = [g for g in fitting if (B // g) % 128 == 0]
+    return aligned[0] if aligned else fitting[0]
 
 
 def pack_dec_state(dec_states: list, B: int, C: int, groups: int = 1):

@@ -33,24 +33,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _mm(w, x, b=None):
-    y = jax.lax.dot_general(w, x, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    if b is not None:
-        y = y + b.astype(jnp.float32)
-    return y
-
-
-def _ln(x32, scale, bias, eps=1e-5):
-    mu = jnp.mean(x32, axis=0, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mu), axis=0, keepdims=True)
-    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
-    return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-
-
-def _silu32(x):
-    x32 = x.astype(jnp.float32)
-    return x32 * jax.nn.sigmoid(x32)
+from fseend_tpu.kernels._common import (mm as _mm, ln as _ln,
+                                        silu32 as _silu32, t_ as _t, b_ as _b)
 
 
 def _kernel(h0_ref, flush_ref,
@@ -201,17 +185,6 @@ def enc_frame_scan(h0, flush,
 # ---------------------------------------------------------------------------
 # packing helpers
 # ---------------------------------------------------------------------------
-
-
-def _t(p, key, dt):
-    return p[key]["kernel"].astype(dt).T
-
-
-def _b(p, key, width, dt):
-    b = p[key].get("bias")
-    if b is None:
-        b = jnp.zeros((width,), jnp.float32)
-    return b.astype(dt).reshape(-1, 1)
 
 
 def pack_enc_weights(blocks: list, conv_bn: list, cfg, dt, eps: float = 1e-5):

@@ -132,23 +132,36 @@ def main():
     params, mstate = cast(params), cast(mstate)
 
     rows = []
-    for lanes in (int(s) for s in args.perframe_lanes.split(",")):
-        r = measure_perframe(cfg, params, mstate, lanes, dt)
+
+    def save():
+        with open(args.out, "w") as f:
+            json.dump(rows, f, indent=1)
+
+    def add(fn, *a, **kw):
+        # one Mosaic/VMEM rejection (frame-kernel rows are chip-dependent)
+        # must not lose the rows already measured — log and keep sweeping,
+        # persisting after every row
+        try:
+            r = fn(*a, **kw)
+        except Exception as e:
+            print(f"[sweep] {fn.__name__}{kw or ''} failed: "
+                  f"{type(e).__name__}: {str(e)[:300]}", file=sys.stderr,
+                  flush=True)
+            return
         rows.append(r)
         print(json.dumps(r), flush=True)
+        save()
+
+    for lanes in (int(s) for s in args.perframe_lanes.split(",")):
+        add(measure_perframe, cfg, params, mstate, lanes, dt)
         if lanes % 128 == 0:  # frame-scan kernels want 128-aligned lanes
-            r = measure_perframe(cfg, params, mstate, lanes, dt,
-                                 frame_kernel=True)
-            rows.append(r)
-            print(json.dumps(r), flush=True)
+            add(measure_perframe, cfg, params, mstate, lanes, dt,
+                frame_kernel=True)
     for lanes in (int(s) for s in args.lanes.split(",")):
         for K in (int(s) for s in args.Ks.split(",")):
-            r = measure_blockwise(cfg, params, mstate, lanes, K, dt)
-            rows.append(r)
-            print(json.dumps(r), flush=True)
+            add(measure_blockwise, cfg, params, mstate, lanes, K, dt)
 
-    with open(args.out, "w") as f:
-        json.dump(rows, f, indent=1)
+    save()
     print(f"-> {args.out}", file=sys.stderr)
 
 
