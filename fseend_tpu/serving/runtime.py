@@ -52,6 +52,9 @@ class StreamingServer:
     frame_kernel_enc: bool = True
 
     def __post_init__(self):
+        if self.frame_kernel and self.kind != "ls":
+            raise ValueError("frame_kernel=True is LS-only (the FS decoder's "
+                             "growing KV caches do not fit VMEM residency)")
         self.state = self._init_state()
         # host-side copy: the live state's buffers are DONATED by the jitted
         # steps, so aliasing them here would leave _reset closing over
