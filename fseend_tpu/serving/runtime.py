@@ -50,6 +50,10 @@ class StreamingServer:
     # with frame_kernel: also run the conformer encoder as a frame-scan
     # kernel (False = XLA per-frame scan for the encoder only)
     frame_kernel_enc: bool = True
+    # set by shard_server_over_mesh: XLA's SPMD partitioner cannot split a
+    # pallas custom call, so the frame-kernel block runs under an explicit
+    # lane-sharded shard_map when a mesh is attached
+    mesh: Any = None
 
     def __post_init__(self):
         if self.frame_kernel and self.kind != "ls":
@@ -100,9 +104,31 @@ class StreamingServer:
     # -- block of frames (throughput path) ---------------------------------
     def _block_impl(self, state, xs, flush):
         if self.kind == "ls" and self.frame_kernel:
-            state, (logits, valid) = ls_eend.ls_stream_block_fused(
-                self.params, state, self.cfg, self.model_state, xs, flush,
-                self.n_slots, enc_kernel=self.frame_kernel_enc)
+            def run(params, mstate, state, xs, flush):
+                return ls_eend.ls_stream_block_fused(
+                    params, state, self.cfg, mstate, xs, flush,
+                    self.n_slots, enc_kernel=self.frame_kernel_enc)
+
+            if self.mesh is not None:
+                # every LS stream-state leaf is lane-major (B or B*C leading
+                # axis), so the whole step shards along axis 0 with zero
+                # collectives; params/model_state are replicated
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                lane = jax.tree.map(lambda _: P("data"), state)
+                repl = lambda t: jax.tree.map(lambda _: P(), t)
+                run_sh = shard_map(
+                    run, mesh=self.mesh,
+                    in_specs=(repl(self.params), repl(self.model_state),
+                              lane, P("data"), P(None, "data")),
+                    out_specs=(lane, (P(None, "data"), P(None, "data"))),
+                    check_vma=False)
+                state, (logits, valid) = run_sh(self.params, self.model_state,
+                                                state, xs, flush)
+            else:
+                state, (logits, valid) = run(self.params, self.model_state,
+                                             state, xs, flush)
             return state, (self._probs(logits.swapaxes(0, 1)), valid)
 
         def body(carry, inp):
@@ -328,4 +354,9 @@ def shard_server_over_mesh(server, mesh):
     server.params = jax.tree.map(lambda x: jax.device_put(x, repl), server.params)
     server.model_state = jax.tree.map(lambda x: jax.device_put(x, repl),
                                       server.model_state)
+    if getattr(server, "frame_kernel", False):
+        # pallas custom calls don't auto-partition: route the frame-kernel
+        # block through an explicit lane-sharded shard_map (see _block_impl)
+        assert server.n_lanes % mesh.shape["data"] == 0
+        server.mesh = mesh
     return server

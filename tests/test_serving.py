@@ -131,6 +131,37 @@ def test_multichip_serving_lane_sharded(rng):
     assert getattr(sh, "spec", None) is not None
 
 
+def test_multichip_serving_frame_kernel(rng):
+    """The frame-scan kernel server shards over the mesh too (explicit
+    shard_map — GSPMD cannot split a pallas custom call): sharded ==
+    single-device, two consecutive blocks (state stays lane-sharded)."""
+    if jax.device_count() < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices (see tests/conftest.needs_mesh)")
+    from fseend_tpu.parallel import mesh as pmesh
+    from fseend_tpu.serving.runtime import StreamingServer, shard_server_over_mesh
+
+    params, mstate = ls_eend.init_ls_eend(jax.random.PRNGKey(0), CFG)
+    blocks = [rng.standard_normal((8, 6, CFG.in_size)).astype(np.float32)
+              for _ in range(2)]
+
+    ref_srv = StreamingServer(kind="ls", cfg=CFG, params=params,
+                              model_state=mstate, n_lanes=8, n_slots=4,
+                              frame_kernel=True)
+    mesh = pmesh.make_mesh(n_data=8, n_model=1)
+    srv = StreamingServer(kind="ls", cfg=CFG, params=params,
+                          model_state=mstate, n_lanes=8, n_slots=4,
+                          frame_kernel=True)
+    with jax.set_mesh(mesh):
+        shard_server_over_mesh(srv, mesh)
+        for blk in blocks:
+            p_ref, _ = ref_srv.process_block(blk)
+            p_sh, _ = srv.process_block(blk)
+            np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref),
+                                       atol=1e-5)
+
+
 def test_bf16_serving_states_stable(rng):
     """bf16 lane state survives the scan (dtype-preserving updates) and
     tracks the f32 path within bf16 tolerance."""
