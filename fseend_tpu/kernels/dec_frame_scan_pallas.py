@@ -80,7 +80,7 @@ def _kernel(embp_ref, embn_ref, valid_ref, pe_ref,
     g = pl.program_id(0)
     t = pl.program_id(1)
     D = H * dk
-    N = C * B
+    N = C * B  # B here is the PER-GROUP lane count Bg
     f32 = jnp.float32
 
     # ---- t==0 (per lane group): seed the VMEM-resident state from HBM,
@@ -98,10 +98,10 @@ def _kernel(embp_ref, embn_ref, valid_ref, pe_ref,
                 kvf_ref[l, h] = (kvf_ref[l, h].astype(f32)
                                  * root[None]).astype(kvf_ref.dtype)
 
-    e = embp_ref[0]                                          # (D, B)
+    e = embp_ref[0, 0]                                       # (D, B)
     dt = e.dtype
     x = _tile(e, C) + pe_ref[...].astype(dt)                 # (D, N)
-    mt = _tile(valid_ref[0], C).astype(f32)                  # (1, N)
+    mt = _tile(valid_ref[0, 0], C).astype(f32)               # (1, N)
 
     for l in range(L):
         s_old = s_scr[l]                                     # (1, N) f32
@@ -167,7 +167,7 @@ def _kernel(embp_ref, embn_ref, valid_ref, pe_ref,
     # ---- attractors -> logits against the (already l2-normed) embedding ----
     xf = x.astype(f32)
     attr = xf * jax.lax.rsqrt(jnp.sum(jnp.square(xf), axis=0, keepdims=True))
-    ent = _tile(embn_ref[0], C).astype(f32)                  # (D, N)
+    ent = _tile(embn_ref[0, 0], C).astype(f32)               # (D, N)
     logits_ref[0] = jnp.sum(ent * attr, axis=0, keepdims=True)
 
     # ---- t==T-1: re-normalize the carried state for the caller ----
@@ -200,14 +200,24 @@ def dec_frame_scan(embp, embn, valid, pe_t,
     assert B % G == 0 and Nt == C * B
     Bg = B // G
     N = C * Bg
+    # real-TPU lowering requires every block's last two dims to be
+    # (8, 128)-divisible OR equal to the array dims; a (1, D, Bg) block of a
+    # (T, D, B) array violates that whenever Bg < 128, so the per-frame
+    # inputs are reshaped group-major to (T, G, D|1, Bg) — their blocks then
+    # EQUAL the trailing array dims for any group split.  (The state/logits
+    # blocks slice the lane axis at N = C*Bg, which pick_groups keeps
+    # 128-divisible.)
+    embp = embp.reshape(T, D, G, Bg).transpose(0, 2, 1, 3)
+    embn = embn.reshape(T, D, G, Bg).transpose(0, 2, 1, 3)
+    valid = valid.reshape(T, 1, G, Bg).transpose(0, 2, 1, 3)
     wspec = lambda a: pl.BlockSpec(a.shape, lambda g, t, _n=a.ndim: (0,) * _n)
     return pl.pallas_call(
         functools.partial(_kernel, L=L, H=H, dk=dk, dv=dv, C=C, B=Bg, T=T),
         grid=(G, T),
         in_specs=[
-            pl.BlockSpec((1, D, Bg), lambda g, t: (t, 0, g)),
-            pl.BlockSpec((1, D, Bg), lambda g, t: (t, 0, g)),
-            pl.BlockSpec((1, 1, Bg), lambda g, t: (t, 0, g)),
+            pl.BlockSpec((1, 1, D, Bg), lambda g, t: (t, g, 0, 0)),
+            pl.BlockSpec((1, 1, D, Bg), lambda g, t: (t, g, 0, 0)),
+            pl.BlockSpec((1, 1, 1, Bg), lambda g, t: (t, g, 0, 0)),
             wspec(pe_t),
             wspec(w_qkvg), wspec(b_qkvg), wspec(w_ro), wspec(b_ro),
             wspec(w_mi), wspec(b_mi), wspec(w_mo), wspec(b_mo),
@@ -232,6 +242,12 @@ def dec_frame_scan(embp, embn, valid, pe_t,
             pltpu.VMEM((L, 1, N), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
+        # the resident state block is the point of the kernel: at G=1 the
+        # production shape holds ~84 MB of decoder kv in VMEM, well past
+        # Mosaic's default scoped-vmem limit — ask for (nearly) the v5e's
+        # 128 MB and let pick_groups split lanes when even that is too small
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(embp, embn, valid, pe_t, w_qkvg, b_qkvg, w_ro, b_ro, w_mi, b_mi,
       w_mo, b_mo, w_f1, b_f1, w_f2, b_f2, ln_s, ln_b, kv0, s0)
@@ -294,8 +310,12 @@ def pick_groups(B: int, C: int, H: int, dv: int, dk: int, L: int,
     budget = int(os.environ.get("FSEEND_FRAMESCAN_VMEM_MB",
                                 "96")) * 1024 * 1024
     total = L * H * dv * dk * C * B * itemsize
+    # g > 1 slices the state/logits lane axis into C*B/g-wide blocks, which
+    # real-TPU lowering only accepts when 128-divisible (the g == 1 block
+    # equals the array dim, always legal)
     fitting = [g for g in range(1, B + 1)
-               if B % g == 0 and total // g <= budget]
+               if B % g == 0 and total // g <= budget
+               and (g == 1 or (C * B // g) % 128 == 0)]
     if not fitting:
         return B
     aligned = [g for g in fitting if (B // g) % 128 == 0]

@@ -176,6 +176,10 @@ def enc_frame_scan(h0, flush,
             jax.ShapeDtypeStruct(ring0.shape, ring0.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((L, 1, B), jnp.float32)],
+        # resident enc state (~17 MB kv + conv rings) + stacked weights can
+        # pass Mosaic's default scoped-vmem limit; match dec_frame_scan
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(h0, flush, lns, lnb, wf1a, bf1a, wf1b, bf1b, w_qkvg, b_qkvg, w_ro, b_ro,
       wpw1, bpw1, dw, bn_a, bn_b, wpw2, bpw2, wf2a, bf2a, wf2b, bf2b,

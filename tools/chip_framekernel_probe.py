@@ -1,0 +1,106 @@
+"""One-off chip probe for the frame-scan kernels: compile + parity +
+throughput at the production serving shape, across lane-group settings.
+
+Usage: python tools/chip_framekernel_probe.py [--lanes 128] [--block 500]
+Prints one line per (budget, enc_kernel) config: ok/fail, max|dp| vs the
+XLA per-frame scan, frames/s (readback-barriered), ms/frame-step.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "bfloat16")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(x):
+    return np.asarray(jnp.ravel(x)[0])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lanes", type=int, default=128)
+    ap.add_argument("--block", type=int, default=500)
+    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--skip_parity", action="store_true")
+    args = ap.parse_args()
+
+    from fseend_tpu.models import ls_eend
+    from fseend_tpu.serving.runtime import StreamingServer
+
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    cfg = ls_eend.LSEENDConfig()
+    params, mstate = ls_eend.init_ls_eend(jax.random.PRNGKey(0), cfg)
+    dt = jnp.bfloat16
+    cast = lambda t: jax.tree.map(
+        lambda x: x.astype(dt) if hasattr(x, "dtype") and x.dtype == jnp.float32
+        else x, t)
+    params, mstate = cast(params), cast(mstate)
+    rng = np.random.default_rng(0)
+    lanes, block = args.lanes, args.block
+    xs = jax.device_put(
+        jnp.asarray(rng.standard_normal((lanes, block, cfg.in_size)), dt))
+
+    # reference: XLA per-frame scan
+    ref_p = None
+    if not args.skip_parity:
+        server = StreamingServer(kind="ls", cfg=cfg, params=params,
+                                 model_state=mstate, n_lanes=lanes,
+                                 n_slots=cfg.max_nspks, dtype=dt)
+        p, _ = server.process_block(xs)
+        ref_p = np.asarray(p, np.float32)
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            p, _ = server.process_block(xs)
+        _sync(p)
+        el = time.perf_counter() - t0
+        print(f"[probe] XLA per-frame scan: {lanes*block*args.reps/el:,.0f} "
+              f"f/s, {el/(block*args.reps)*1e3:.3f} ms/step", flush=True)
+        del server
+
+    for budget, enc_k in ((None, True), (48, True), (24, True), (48, False)):
+        if budget is None:
+            os.environ.pop("FSEEND_FRAMESCAN_VMEM_MB", None)
+        else:
+            os.environ["FSEEND_FRAMESCAN_VMEM_MB"] = str(budget)
+        tag = f"budget={budget or 'default'} enc_kernel={enc_k}"
+        try:
+            sk = StreamingServer(kind="ls", cfg=cfg, params=params,
+                                 model_state=mstate, n_lanes=lanes,
+                                 n_slots=cfg.max_nspks, dtype=dt,
+                                 frame_kernel=True, frame_kernel_enc=enc_k)
+            t0 = time.perf_counter()
+            p, _ = sk.process_block(xs)
+            pk = np.asarray(p, np.float32)
+            print(f"[probe] {tag}: compiled+ran in {time.perf_counter()-t0:.1f}s",
+                  flush=True)
+            if ref_p is not None:
+                print(f"[probe] {tag}: max|dp| vs XLA scan = "
+                      f"{np.abs(pk - ref_p).max():.5f}", flush=True)
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                p, _ = sk.process_block(xs)
+            _sync(p)
+            el = time.perf_counter() - t0
+            print(f"[probe] {tag}: {lanes*block*args.reps/el:,.0f} f/s, "
+                  f"{el/(block*args.reps)*1e3:.3f} ms/step", flush=True)
+            del sk
+        except Exception as e:
+            print(f"[probe] {tag}: FAILED {type(e).__name__}: {str(e)[:400]}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
