@@ -163,15 +163,14 @@ def main():
             # Fail-safe: a Mosaic/VMEM rejection must not sink the whole
             # bench — the XLA modes above/below still produce the artifact.
             if not os.environ.get("BENCH_SKIP_FRAMEKERNEL"):
-                # Mosaic VMEM OOM at lane-group G=1 must not sink the mode:
-                # retry with smaller decoder budgets (forces G=2/4/... in
-                # kernels/dec_frame_scan_pallas.pick_groups, re-read per
-                # fresh server), then without the encoder kernel (the
-                # encoder has no lane-group fallback) before giving up.
-                # The user's own FSEEND_FRAMESCAN_VMEM_MB is restored after.
+                # A Mosaic VMEM OOM must not sink the mode: retry without
+                # the encoder kernel before giving up.  (Budget-retry rungs
+                # were dropped after the 2026-08-18 chip probe: at <=128
+                # lanes pick_groups can never split further — finer lane
+                # groups fail real-TPU lowering — so lowering the budget
+                # cannot change the compiled config.)
                 env_budget = os.environ.get("FSEEND_FRAMESCAN_VMEM_MB")
-                for vmem_mb, enc_k in ((None, True), (48, True), (24, True),
-                                       (None, False), (48, False)):
+                for vmem_mb, enc_k in ((None, True), (None, False)):
                     if vmem_mb is None:
                         os.environ.pop("FSEEND_FRAMESCAN_VMEM_MB", None)
                         if env_budget is not None:

@@ -36,6 +36,32 @@ def silu32(x):
     return x32 * jax.nn.sigmoid(x32)
 
 
+def framescan_vmem_budget_bytes() -> int:
+    """Lane-grouping VMEM budget for the frame-scan kernels
+    (`FSEEND_FRAMESCAN_VMEM_MB`, default sized for the v5e's 128 MB minus
+    weights/activations headroom)."""
+    import os
+
+    return int(os.environ.get("FSEEND_FRAMESCAN_VMEM_MB", "96")) * 1024 * 1024
+
+
+def framescan_vmem_limit_bytes() -> int:
+    """Mosaic scoped-vmem limit for the frame-scan kernels:
+    max(budget + 24 MB headroom, 120 MB) so RAISING the grouping budget on a
+    big-VMEM part raises the compiler limit with it, while LOWERING the
+    budget never drops the limit below the v5e default (at the production
+    shape grouping is often impossible — see pick_groups — and the ungrouped
+    state must still be allowed to compile).  Independently overridable via
+    `FSEEND_FRAMESCAN_VMEM_LIMIT_MB` for smaller-VMEM parts."""
+    import os
+
+    override = os.environ.get("FSEEND_FRAMESCAN_VMEM_LIMIT_MB")
+    if override is not None:
+        return int(override) * 1024 * 1024
+    budget = framescan_vmem_budget_bytes()
+    return max(budget + 24 * 1024 * 1024, 120 * 1024 * 1024)
+
+
 def t_(p, key, dt):
     """Transposed kernel (O, I) of a linear's (I, O) weight."""
     return p[key]["kernel"].astype(dt).T

@@ -58,7 +58,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-from fseend_tpu.kernels._common import mm as _mm, ln as _ln, t_ as _t, b_ as _b
+from fseend_tpu.kernels._common import (
+    mm as _mm, ln as _ln, t_ as _t, b_ as _b, framescan_vmem_limit_bytes)
 
 
 def _tile(x, reps: int):
@@ -244,10 +245,11 @@ def dec_frame_scan(embp, embn, valid, pe_t,
         ],
         # the resident state block is the point of the kernel: at G=1 the
         # production shape holds ~84 MB of decoder kv in VMEM, well past
-        # Mosaic's default scoped-vmem limit — ask for (nearly) the v5e's
-        # 128 MB and let pick_groups split lanes when even that is too small
+        # Mosaic's default scoped-vmem limit — the limit tracks the grouping
+        # budget (+headroom; default 96+24 = the v5e's ~120 MB usable), and
+        # pick_groups splits lanes when even that is too small
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024),
+            vmem_limit_bytes=framescan_vmem_limit_bytes()),
         interpret=interpret,
     )(embp, embn, valid, pe_t, w_qkvg, b_qkvg, w_ro, b_ro, w_mi, b_mi,
       w_mo, b_mo, w_f1, b_f1, w_f2, b_f2, ln_s, ln_b, kv0, s0)
@@ -303,23 +305,43 @@ def pick_groups(B: int, C: int, H: int, dv: int, dk: int, L: int,
                 itemsize: int) -> int:
     """Smallest lane-group count whose per-group state slice fits the VMEM
     budget (`FSEEND_FRAMESCAN_VMEM_MB`, default sized for the v5e's 128 MB
-    minus weights/activations). Bg stays 128-aligned when possible so the
-    slot-MHA lane slices avoid relayouts."""
+    minus weights/activations). Bg MUST stay 128-aligned: real-TPU lowering
+    rejects the non-aligned slot-MHA lane slices a finer split creates."""
+    from fseend_tpu.kernels._common import framescan_vmem_budget_bytes
+
     import os
 
-    budget = int(os.environ.get("FSEEND_FRAMESCAN_VMEM_MB",
-                                "96")) * 1024 * 1024
+    force = os.environ.get("FSEEND_FRAMESCAN_FORCE_GROUPS")
+    if force:
+        # test/debug escape hatch: interpret mode accepts lane splits that
+        # real-TPU lowering rejects, so parity tests can exercise the
+        # grouped code path at tiny shapes
+        g = int(force)
+        assert B % g == 0, f"FORCE_GROUPS={g} must divide B={B}"
+        return g
+    budget = framescan_vmem_budget_bytes()
     total = L * H * dv * dk * C * B * itemsize
-    # g > 1 slices the state/logits lane axis into C*B/g-wide blocks, which
-    # real-TPU lowering only accepts when 128-divisible (the g == 1 block
-    # equals the array dim, always legal)
-    fitting = [g for g in range(1, B + 1)
-               if B % g == 0 and total // g <= budget
-               and (g == 1 or (C * B // g) % 128 == 0)]
-    if not fitting:
-        return B
-    aligned = [g for g in fitting if (B // g) % 128 == 0]
-    return aligned[0] if aligned else fitting[0]
+    # Legal splits, per the 2026-08-18 chip probe (tools/chip_framekernel_
+    # probe.py): a g > 1 split must keep BOTH the state/logits lane blocks
+    # (C*B/g wide) 128-divisible AND the per-group lane width Bg = B/g
+    # 128-aligned — the slot-MHA slices kh[:, c*Bg:(c+1)*Bg] at Bg=64
+    # (B=128, g=2) are not merely slow relayouts, they FAIL real-TPU
+    # lowering outright (remote compile rc=1; interpret mode accepts them).
+    # At the production shape (B=128, C=10) that leaves only g=1: grouping
+    # helps only at B >= 256.  When nothing fits the soft budget, take the
+    # largest legal split and accept the overrun — the compiler's vmem
+    # limit, not this knob, is the real arbiter (returning B here would
+    # make lane blocks C wide, which lowering also rejects).
+    # KNOWN LIMIT (2026-08-18 chip probe): even the fully-aligned g=2 at
+    # B=256 (Bg=128, lane blocks 1280) fails the remote TPU compile, so on
+    # a v5e the kernel's practical lane capacity is <=128 (~84 MB resident
+    # decoder state); scale lanes further via the multi-chip shard_map
+    # route (serving/runtime.py lane sharding), not via groups.
+    legal = [g for g in range(1, B + 1)
+             if B % g == 0 and (g == 1 or ((B // g) % 128 == 0
+                                           and (C * B // g) % 128 == 0))]
+    fitting = [g for g in legal if total // g <= budget]
+    return fitting[0] if fitting else max(legal)
 
 
 def pack_dec_state(dec_states: list, B: int, C: int, groups: int = 1):

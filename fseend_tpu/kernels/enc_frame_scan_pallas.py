@@ -34,7 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 from fseend_tpu.kernels._common import (mm as _mm, ln as _ln,
-                                        silu32 as _silu32, t_ as _t, b_ as _b)
+                                        silu32 as _silu32, t_ as _t, b_ as _b,
+                                        framescan_vmem_limit_bytes)
 
 
 def _kernel(h0_ref, flush_ref,
@@ -179,7 +180,7 @@ def enc_frame_scan(h0, flush,
         # resident enc state (~17 MB kv + conv rings) + stacked weights can
         # pass Mosaic's default scoped-vmem limit; match dec_frame_scan
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024),
+            vmem_limit_bytes=framescan_vmem_limit_bytes()),
         interpret=interpret,
     )(h0, flush, lns, lnb, wf1a, bf1a, wf1b, bf1b, w_qkvg, b_qkvg, w_ro, b_ro,
       wpw1, bpw1, dw, bn_a, bn_b, wpw2, bpw2, wf2a, bf2a, wf2b, bf2b,

@@ -72,9 +72,12 @@ def test_block_fused_matches_stepwise_scan(setup, enc_kernel):
 
 
 def test_block_fused_lane_groups(setup, monkeypatch):
-    """Tiny VMEM budget -> maximal lane-grouping (grid=(G,T)); parity must
-    hold with per-group state slices."""
-    monkeypatch.setenv("FSEEND_FRAMESCAN_VMEM_MB", "0")
+    """Forced maximal lane-grouping (grid=(G,T)); parity must hold with
+    per-group state slices.  (Real-TPU pick_groups only ever selects
+    128-aligned splits — the 2026-08-18 chip probe showed finer ones fail
+    Mosaic lowering — so the grouped path is forced explicitly here and
+    exercised in interpret mode.)"""
+    monkeypatch.setenv("FSEEND_FRAMESCAN_FORCE_GROUPS", str(B))
     params, mstate, xs = setup
     state0 = ls_eend.ls_stream_init(CFG, B, C)
     flush = _flush()

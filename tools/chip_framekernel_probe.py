@@ -70,37 +70,53 @@ def main():
               f"f/s, {el/(block*args.reps)*1e3:.3f} ms/step", flush=True)
         del server
 
-    for budget, enc_k in ((None, True), (48, True), (24, True), (48, False)):
+    # configs: (probe_lanes, budget_mb, enc_kernel).  Lane-grouping is only
+    # legal at 128-aligned per-group widths (2026-08-18 chip probe: finer
+    # splits fail Mosaic lowering), so the grouped path is exercised at
+    # 2*lanes where pick_groups selects g=2 with Bg = lanes.
+    n_ok, n_fail = 0, 0
+    for probe_lanes, budget, enc_k in (
+            (lanes, None, True), (lanes, None, False),
+            (2 * lanes, None, True)):
         if budget is None:
             os.environ.pop("FSEEND_FRAMESCAN_VMEM_MB", None)
         else:
             os.environ["FSEEND_FRAMESCAN_VMEM_MB"] = str(budget)
-        tag = f"budget={budget or 'default'} enc_kernel={enc_k}"
+        tag = (f"lanes={probe_lanes} budget={budget or 'default'} "
+               f"enc_kernel={enc_k}")
+        xsl = xs
+        if probe_lanes != lanes:
+            xsl = jax.device_put(jnp.asarray(
+                rng.standard_normal((probe_lanes, block, cfg.in_size)), dt))
         try:
             sk = StreamingServer(kind="ls", cfg=cfg, params=params,
-                                 model_state=mstate, n_lanes=lanes,
+                                 model_state=mstate, n_lanes=probe_lanes,
                                  n_slots=cfg.max_nspks, dtype=dt,
                                  frame_kernel=True, frame_kernel_enc=enc_k)
             t0 = time.perf_counter()
-            p, _ = sk.process_block(xs)
+            p, _ = sk.process_block(xsl)
             pk = np.asarray(p, np.float32)
             print(f"[probe] {tag}: compiled+ran in {time.perf_counter()-t0:.1f}s",
                   flush=True)
-            if ref_p is not None:
+            if ref_p is not None and probe_lanes == lanes:
                 print(f"[probe] {tag}: max|dp| vs XLA scan = "
                       f"{np.abs(pk - ref_p).max():.5f}", flush=True)
             t0 = time.perf_counter()
             for _ in range(args.reps):
-                p, _ = sk.process_block(xs)
+                p, _ = sk.process_block(xsl)
             _sync(p)
             el = time.perf_counter() - t0
-            print(f"[probe] {tag}: {lanes*block*args.reps/el:,.0f} f/s, "
+            print(f"[probe] {tag}: {probe_lanes*block*args.reps/el:,.0f} f/s, "
                   f"{el/(block*args.reps)*1e3:.3f} ms/step", flush=True)
             del sk
+            n_ok += 1
         except Exception as e:
-            print(f"[probe] {tag}: FAILED {type(e).__name__}: {str(e)[:400]}",
+            n_fail += 1
+            print(f"[probe] {tag}: FAILED {type(e).__name__}: {str(e)[:2000]}",
                   flush=True)
+    print(f"[probe] summary: {n_ok} ok, {n_fail} failed", flush=True)
+    return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
