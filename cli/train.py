@@ -47,6 +47,8 @@ def build_model(configs):
             mask_delay=p.get("mask_delay", 0), max_nspks=max_spk + 2,
             use_pallas=p.get("use_pallas", False),
             use_fused_ret=p.get("use_fused_ret", False),
+            use_fused_dec=p.get("use_fused_dec", False),
+            fused_dec_chunk=p.get("fused_dec_chunk"),
             remat=p.get("remat", False))
         init = lambda key: ls_eend.init_ls_eend(key, cfg)
         task = trainer_lib.TaskConfig(

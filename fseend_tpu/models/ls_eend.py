@@ -63,6 +63,25 @@ class LSEENDConfig:
     use_fused_ffn: bool = False  # Pallas fused FFN in serving paths (opt-in;
                                  # XLA matches it on default shapes — see
                                  # kernels/ffn_pallas.py)
+    use_fused_dec: bool = False  # fully fused decoder fusion layers in the
+                                 # batch/chunkwise (TRAINING) pass: fwd AND
+                                 # hand-written bwd Pallas kernels with
+                                 # VMEM-resident slot-grid activations +
+                                 # in-kernel dropout
+                                 # (kernels/dec_train_fusion_pallas.py)
+    fused_dec_chunk: int | None = None
+                                 # internal retention chunk of the fused
+                                 # decoder kernels.  None (default) = use
+                                 # chunk_size: numerically EXACT vs the XLA
+                                 # chunkwise path.  Smaller values are a perf/
+                                 # VMEM knob: gamma=1 chunkwise retention is
+                                 # chunk-size invariant up to the group-norm
+                                 # eps (pre-norm outputs are per-row
+                                 # proportional to ~4e-5; eps=0 diff 7e-7 —
+                                 # the eps=1e-6 sensitivity is the REFERENCE
+                                 # formulation's own, retention.py:162/180 +
+                                 # the eps of retention.py:86).  Must divide
+                                 # the padded T, else falls back to chunk_size
     remat: bool = False        # jax.checkpoint each conformer block (trade
                                # FLOPs for memory on hour-long sequences)
 
@@ -270,16 +289,51 @@ def fusion_layer(p: Params, x: jnp.ndarray, cfg: LSEENDConfig, *, rng=None,
 def decode(params: Params, cfg: LSEENDConfig, emb: jnp.ndarray, n_slots: int, *,
            train=False, rngs=None, time_mode: str = "chunkwise") -> jnp.ndarray:
     B, T, D = emb.shape
+    rs = (jax.random.split(rngs, cfg.dec_n_layers) if rngs is not None
+          else [None] * cfg.dec_n_layers)
+    if cfg.use_fused_dec and time_mode == "chunkwise":
+        return _decode_fused(params, cfg, emb, n_slots, train=train, rs=rs)
     pe = nn.sinusoidal_table(cfg.pe_max_len, cfg.n_units)[:n_slots].astype(emb.dtype)
     x = jnp.concatenate(
         [jnp.broadcast_to(emb[:, :, None, :], (B, T, n_slots, D)),
          jnp.broadcast_to(pe[None, None], (B, T, n_slots, D))], axis=-1)
     x = nn.linear(params["dec"]["convert"], x)
-    rs = (jax.random.split(rngs, cfg.dec_n_layers) if rngs is not None
-          else [None] * cfg.dec_n_layers)
     for i, lp in enumerate(params["dec"]["layers"]):
         x = fusion_layer(lp, x, cfg, rng=rs[i], train=train, time_mode=time_mode)
     return x
+
+
+def _decode_fused(params: Params, cfg: LSEENDConfig, emb: jnp.ndarray,
+                  n_slots: int, *, train: bool, rs) -> jnp.ndarray:
+    """Attractor decoder through the fused TRAIN kernels
+    (kernels/dec_train_fusion_pallas.py): the whole stack runs SLOT-MAJOR
+    (B, C, T, D) — zero per-layer transposes (the XLA fusion_layer relayouts
+    the 20-50M-element slot grid twice per layer) — and each fusion layer is
+    one fwd + one hand-written bwd pallas_call with VMEM-resident
+    activations.  Dropout runs in-kernel from per-layer integer seeds
+    (counter-hash masks; distribution-identical to the XLA path, different
+    bits).  Returns the decode() contract shape (B, T, C, D)."""
+    from fseend_tpu.kernels.dec_train_fusion_pallas import fused_fusion_layer
+
+    B, T, D = emb.shape
+    pe = nn.sinusoidal_table(cfg.pe_max_len, cfg.n_units)[:n_slots].astype(emb.dtype)
+    x = jnp.concatenate(
+        [jnp.broadcast_to(emb[:, None, :, :], (B, n_slots, T, D)),
+         jnp.broadcast_to(pe[None, :, None, :], (B, n_slots, T, D))], axis=-1)
+    x = nn.linear(params["dec"]["convert"], x)           # (B, C, T, D)
+    L = cfg.fused_dec_chunk or cfg.chunk_size
+    if T % L != 0:
+        L = cfg.chunk_size
+    interpret = jax.default_backend() != "tpu"
+    for i, lp in enumerate(params["dec"]["layers"]):
+        if train and rs[i] is not None and cfg.dropout > 0.0:
+            seed = jax.random.randint(rs[i], (1, 1), 0, 2 ** 31 - 1, jnp.int32)
+            rate = cfg.dropout
+        else:
+            seed = jnp.zeros((1, 1), jnp.int32)
+            rate = 0.0
+        x = fused_fusion_layer(lp, x, seed, cfg.n_heads, L, rate, interpret)
+    return x.swapaxes(1, 2)                              # (B, T, C, D)
 
 
 def pad_to_chunk(xs: jnp.ndarray, chunk: int) -> jnp.ndarray:
