@@ -31,8 +31,15 @@ def main():
     parser.add_argument("--ckpt", default=None)
     parser.add_argument("--wav_dir", required=True)
     parser.add_argument("--out_dir", required=True)
-    parser.add_argument("--lanes", type=int, default=16)
-    parser.add_argument("--block", type=int, default=64)
+    # defaults = the measured frontier optimum (docs/results/
+    # latency_frontier_r4.json): 128 lanes (frame-kernel legal + swept) and
+    # 500-frame dispatch blocks -> 416.8k frames/s on one v5e chip
+    parser.add_argument("--lanes", type=int, default=128)
+    parser.add_argument("--block", type=int, default=500)
+    parser.add_argument("--frame_kernel", choices=["auto", "on", "off"],
+                        default="auto",
+                        help="LS Pallas frame-scan serving kernel; auto = on "
+                             "for LS at 128-aligned lanes on TPU")
     parser.add_argument("--capacity", type=int, default=8192,
                         help="FS only: max frames per recording")
     args = parser.parse_args()
@@ -49,10 +56,11 @@ def main():
     configs = load_config(args.configs)
     data = configs["data"]
     model_cfg, task, params, mstate = load_model(configs, args.ckpt)
+    fk = {"auto": None, "on": True, "off": False}[args.frame_kernel]
     srv = StreamingServer(kind=task.model, cfg=model_cfg, params=params,
                           model_state=mstate, n_lanes=args.lanes,
                           n_slots=data["max_speakers"] + 2,
-                          capacity=args.capacity)
+                          capacity=args.capacity, frame_kernel=fk)
     cb = ContinuousBatcher(srv, block=args.block)
 
     wavs = sorted(glob.glob(os.path.join(args.wav_dir, "*.wav")))

@@ -45,8 +45,14 @@ class StreamingServer:
     dtype: Any = jnp.float32
     # ls only: run process_block with the attractor decoder fused into the
     # Pallas frame-scan kernel (states VMEM-resident across the block) —
-    # same per-frame latency semantics, ~bandwidth-bound -> compute-bound
-    frame_kernel: bool = False
+    # same per-frame latency semantics, ~bandwidth-bound -> compute-bound.
+    # None = AUTO (the shipped default): on for LS when n_lanes is
+    # 128-aligned — the swept frontier (docs/results/latency_frontier_r4.
+    # json) shows it dominating every other operating point (416.8k f/s @
+    # 0.307 ms vs per-frame XLA 269.3k @ 0.475 ms and blockwise K=128
+    # 404.3k @ 12.8 s), and the 2026-08-18 chip probe showed non-128-aligned
+    # lane counts fail Mosaic lowering, hence the alignment gate.
+    frame_kernel: bool | None = None
     # with frame_kernel: also run the conformer encoder as a frame-scan
     # kernel (False = XLA per-frame scan for the encoder only)
     frame_kernel_enc: bool = True
@@ -56,6 +62,10 @@ class StreamingServer:
     mesh: Any = None
 
     def __post_init__(self):
+        if self.frame_kernel is None:
+            self.frame_kernel = (self.kind == "ls"
+                                 and self.n_lanes % 128 == 0
+                                 and jax.default_backend() == "tpu")
         if self.frame_kernel and self.kind != "ls":
             raise ValueError("frame_kernel=True is LS-only (the FS decoder's "
                              "growing KV caches do not fit VMEM residency)")

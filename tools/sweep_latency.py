@@ -54,30 +54,31 @@ def _sync(x):
 
 
 def measure_perframe(cfg, params, mstate, lanes, dt, n_frames=2000,
-                     frame_kernel=False):
+                     frame_kernel=False, block=500):
     """Fused per-frame scan via StreamingServer.process_block (scan of
-    ls_stream_step; K here only amortizes dispatch, semantics stay
-    frame-level). frame_kernel=True swaps in the Pallas frame-scan
-    kernels (states VMEM-resident across the 500-frame call)."""
+    ls_stream_step; `block` only amortizes dispatch + (for the kernel) the
+    per-call state DMA — semantics stay frame-level). frame_kernel=True
+    swaps in the Pallas frame-scan kernels (states VMEM-resident across
+    the `block`-frame call)."""
     rng = np.random.default_rng(0)
     server = StreamingServer(kind="ls", cfg=cfg, params=params,
                              model_state=mstate, n_lanes=lanes,
                              n_slots=cfg.max_nspks, dtype=dt,
                              frame_kernel=frame_kernel)
     xs = jax.device_put(jnp.asarray(
-        rng.standard_normal((lanes, 500, cfg.in_size)), dt))
+        rng.standard_normal((lanes, block, cfg.in_size)), dt))
     p, _ = server.process_block(xs)
     _sync(p)
-    n_rep = max(1, n_frames // 500)
+    n_rep = max(1, n_frames // block)
     t0 = time.perf_counter()
     for _ in range(n_rep):
         p, _ = server.process_block(xs)
     _sync(p)
     el = time.perf_counter() - t0
-    fps = lanes * 500 * n_rep / el
-    step_ms = el / (500 * n_rep) * 1e3
+    fps = lanes * block * n_rep / el
+    step_ms = el / (block * n_rep) * 1e3
     return {"mode": "per-frame-kernel" if frame_kernel else "per-frame",
-            "K": 1, "lanes": lanes,
+            "K": 1, "lanes": lanes, "block": block,
             "frames_per_sec": round(fps, 1),
             "rt_per_lane": round(fps / lanes / FRAME_HZ, 1),
             "device_block_ms": round(step_ms, 3),
@@ -120,6 +121,9 @@ def main():
     # block >= conv_delay (9) is required by ls_blockstream_init
     ap.add_argument("--Ks", default="16,32,64,128")
     ap.add_argument("--perframe_lanes", default="128,512")
+    # frame-kernel dispatch-block sweep (VERDICT r3 #2): per-frame
+    # SEMANTICS at every size; the block amortizes the per-call state DMA
+    ap.add_argument("--fk_blocks", default="125,250,500,1000")
     args = ap.parse_args()
 
     print(f"device: {jax.devices()[0]}", file=sys.stderr, flush=True)
@@ -154,9 +158,14 @@ def main():
 
     for lanes in (int(s) for s in args.perframe_lanes.split(",")):
         add(measure_perframe, cfg, params, mstate, lanes, dt)
-        if lanes % 128 == 0:  # frame-scan kernels want 128-aligned lanes
-            add(measure_perframe, cfg, params, mstate, lanes, dt,
-                frame_kernel=True)
+        # frame-scan kernel: 128 lanes only — the 2026-08-18 chip probe
+        # showed >128 lanes fail remote TPU compile (state exceeds VMEM and
+        # the only legal split, g=2 @ Bg=128, is rejected by Mosaic), so a
+        # bigger sweep would just burn compile minutes on known failures
+        if lanes == 128:
+            for blk in (int(s) for s in args.fk_blocks.split(",")):
+                add(measure_perframe, cfg, params, mstate, lanes, dt,
+                    frame_kernel=True, block=blk)
     for lanes in (int(s) for s in args.lanes.split(",")):
         for K in (int(s) for s in args.Ks.split(",")):
             add(measure_blockwise, cfg, params, mstate, lanes, K, dt)
