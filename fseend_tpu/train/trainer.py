@@ -82,8 +82,13 @@ def _cast_bf16(tree):
 
 
 def compute_loss(task: TaskConfig, cfg, params, model_state, batch, rng, *,
-                 train: bool):
-    """Returns (loss, aux) with aux = (new_model_state, metrics)."""
+                 train: bool, forward_fn=None):
+    """Returns (loss, aux) with aux = (new_model_state, metrics).
+
+    `forward_fn` (same signature as `_forward`) swaps the model pass while
+    keeping the whole label-protocol/loss/metrics chain — used by the
+    sequence-parallel train step (parallel/sp.py), whose forward is a
+    shard_map over the time axis."""
     if task.compute_dtype == "bf16":
         # mixed precision: the cast is linear, so grads flow back to the
         # f32 master params; losses below accumulate in f32
@@ -98,8 +103,8 @@ def compute_loss(task: TaskConfig, cfg, params, model_state, batch, rng, *,
     n_slots = S + 2
     slot_labels, slot_mask = labels_lib.prepare_labels(labels, lens, n_spk)
 
-    out = _forward(task, cfg, params, model_state, feats, lens, n_slots,
-                   train, rng)
+    out = (forward_fn or _forward)(task, cfg, params, model_state, feats,
+                                   lens, n_slots, train, rng)
     logits = out["logits"].astype(jnp.float32)  # losses accumulate in f32
 
     if task.label_mode == "fixed":
