@@ -226,6 +226,77 @@ def train_goldens():
     sys.path.remove("/root/reference/LS-EEND")
 
 
+def prod_train_goldens():
+    """Production-shape TRAIN golden (VERDICT r3 #4): the LS train chain at
+    n_units=256 / 4+2 layers / recurrent_chunk_size=500 / B=4 / T up to 1500
+    — >=2 full chunk-500 boundaries, so the GRADIENT path through the
+    chunkwise cross-chunk recursion and its detached renormalizers
+    (LS-EEND/nnet/modules/retention.py:146-194) and the sum-len^2 masked
+    emb loss (onl_conformer_...emb_loss_mask.py:91-113) is pinned at the
+    shapes the published DERs were produced at (the small train golden
+    never fires the recursion: T=16 < one chunk).
+
+    One step, dropout=0 (RNG-free): losses + gradients.  Weights are
+    f16-rounded so both frameworks compute from bit-identical f32 values;
+    decoder gradients ship f32 (the chunk-recursion path under test),
+    encoder/frontend gradients ship f16 (global-coverage safety net, f16
+    quantization ~5e-4 relative dominates the comparison tolerance there).
+    """
+    torch.manual_seed(13)
+    sys.path.insert(0, "/root/reference/LS-EEND")
+    for mod in list(sys.modules):
+        if mod.startswith("nnet"):
+            del sys.modules[mod]
+    from nnet.model.onl_conformer_retention_enc_1dcnn_tfm_retention_enc_linear_non_autoreg_pos_enc_l2norm_emb_loss_mask import (
+        OnlineConformerRetentionDADiarization as LS)
+
+    T_list, n_spk_list = [1500, 1000, 1200, 1137], [5, 3, 8, 6]
+    ls = LS(n_speakers=8, in_size=345, n_units=256, n_heads=4, enc_n_layers=4,
+            dec_n_layers=2, dropout=0.0, max_seqlen=max(T_list),
+            recurrent_chunk_size=500, feed_forward_expansion_factor=4,
+            dec_dim_feedforward=2048, conv_kernel_size=16, conv_delay=9)
+    with torch.no_grad():
+        for blk in ls.enc.encoder.layers:
+            bn = blk.sequential[2].module.sequential[5]
+            bn.running_mean.uniform_(-0.5, 0.5)
+            bn.running_var.uniform_(0.5, 1.5)
+    _round_f16(ls)
+    feats, labels = _make_batch(4321, T_list, n_spk_list, in_size=345)
+    feats = [(f * 0.7).half().float() for f in feats]
+
+    standard_loss = _ref_standard_loss()
+    ls.train()
+    sd0 = {k: (v.detach().half().numpy() if v.is_floating_point()
+               else v.detach().numpy())
+           for k, v in ls.state_dict().items()}
+    tgt = _label_protocol(labels, T_list, n_spk_list)
+    preds, emb_loss, _, _ = ls(feats, tgt=tgt, ilens=T_list)
+    pit_loss = standard_loss(preds, tgt, label_delay=0)
+    (pit_loss + emb_loss).backward()
+    grads = {}
+    for k, p in ls.named_parameters():
+        if p.grad is None:
+            continue
+        g = p.grad.detach().numpy()
+        grads[k] = (g.copy() if k.startswith(("dec", "cnn"))
+                    else g.astype(np.float16))
+
+    B, Tm, Sm = len(feats), max(T_list), max(n_spk_list)
+    feats_pad = np.zeros((B, Tm, 345), np.float16)
+    labels_pad = np.zeros((B, Tm, Sm), np.float32)
+    for b in range(B):
+        feats_pad[b, :T_list[b]] = feats[b].numpy().astype(np.float16)
+        labels_pad[b, :T_list[b], :n_spk_list[b]] = labels[b].numpy()
+    np.savez_compressed(
+        "tests/goldens/ls_train_prod.npz", feats=feats_pad, labels=labels_pad,
+        lens=np.asarray(T_list), n_spk=np.asarray(n_spk_list),
+        losses=np.asarray([float(pit_loss), float(emb_loss),
+                           float(pit_loss + emb_loss)], np.float64),
+        **{"sd__" + k: v for k, v in sd0.items()},
+        **{"gr__" + k: v for k, v in grads.items()})
+    sys.path.remove("/root/reference/LS-EEND")
+
+
 def _round_f16(model):
     """Round every parameter/BN buffer to float16-representable values so the
     golden can SHIP the state dict as f16 (half the bytes) while both sides
@@ -302,8 +373,17 @@ def prod_goldens():
 
 
 if __name__ == "__main__":
-    retention_goldens()
-    model_goldens()
-    train_goldens()
-    prod_goldens()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="regenerate one group (function name)")
+    a = ap.parse_args()
+    groups = [retention_goldens, model_goldens, train_goldens, prod_goldens,
+              prod_train_goldens]
+    for fn in groups:
+        if a.only and fn.__name__ != a.only:
+            continue
+        print(f"-> {fn.__name__}", flush=True)
+        fn()
     print("goldens regenerated under tests/goldens/")
