@@ -22,6 +22,11 @@ from pathlib import Path
 
 import numpy as np
 
+try:                                  # native hot path (C, ctypes-built);
+    from fseend_tpu.data import _native as _nat  # None-lib => pure python
+except Exception:                     # pragma: no cover — no compiler etc.
+    _nat = None
+
 _FIXED_COEFFS = {
     0: [],
     1: [1],
@@ -104,6 +109,8 @@ class _Bits:
 def _rice_residual(bits: _Bits, n: int, predictor_order: int,
                    param_bits: int) -> np.ndarray:
     """Residual section: partition order + Rice-coded partitions."""
+    if _nat is not None and _nat.lib is not None:
+        return _nat.rice_residual(bits, n, predictor_order, param_bits)
     part_order = bits.read(4)
     n_parts = 1 << part_order
     out = np.empty(n - predictor_order, np.int64)
@@ -127,6 +134,12 @@ def _rice_residual(bits: _Bits, n: int, predictor_order: int,
 
 
 def _decode_subframe(bits: _Bits, n: int, depth: int) -> np.ndarray:
+    """One subframe.  The bit-serial per-sample work (Rice residuals,
+    VERBATIM reads, FIXED/LPC integer recurrences) dispatches to the native
+    C hot path (data/_native.py, ~2 orders of magnitude on hour-long
+    recordings); the pure-Python branches below are the fallback AND the
+    parity oracle (tests/test_flac.py pins native == python)."""
+    native = _nat.lib if _nat is not None else None
     if bits.read(1):
         raise ValueError("invalid subframe padding bit")
     sf_type = bits.read(6)
@@ -137,7 +150,11 @@ def _decode_subframe(bits: _Bits, n: int, depth: int) -> np.ndarray:
     if sf_type == 0:                  # CONSTANT
         out = np.full(n, bits.read_signed(depth), np.int64)
     elif sf_type == 1:                # VERBATIM
-        out = np.array([bits.read_signed(depth) for _ in range(n)], np.int64)
+        if native is not None:
+            out = _nat.read_verbatim(bits, n, depth)
+        else:
+            out = np.array([bits.read_signed(depth) for _ in range(n)],
+                           np.int64)
     elif 8 <= sf_type <= 12:          # FIXED, order = type - 8
         order = sf_type - 8
         warm = [bits.read_signed(depth) for _ in range(order)]
@@ -147,17 +164,24 @@ def _decode_subframe(bits: _Bits, n: int, depth: int) -> np.ndarray:
         res = _rice_residual(bits, n, order, 4 + method)
         out = np.empty(n, np.int64)
         out[:order] = warm
-        coef = _FIXED_COEFFS[order]
-        for i in range(order, n):
-            pred = 0
-            for j, c in enumerate(coef):
-                pred += c * out[i - 1 - j]
-            out[i] = res[i - order] + pred
+        out[order:] = res
+        if native is not None:
+            _nat.fixed_restore(out, order)
+        else:
+            coef = _FIXED_COEFFS[order]
+            for i in range(order, n):
+                pred = 0
+                for j, c in enumerate(coef):
+                    pred += c * out[i - 1 - j]
+                out[i] = res[i - order] + pred
     elif sf_type >= 32:               # LPC, order = (type & 31) + 1
         order = (sf_type & 31) + 1
         warm = [bits.read_signed(depth) for _ in range(order)]
         prec = bits.read(4) + 1
         shift = bits.read_signed(5)
+        if shift < 0:                 # forbidden by the spec; the python
+            raise ValueError(         # recurrence would raise on >> anyway
+                f"negative LPC quantization shift {shift}")
         coefs = [bits.read_signed(prec) for _ in range(order)]
         method = bits.read(2)
         if method > 1:
@@ -165,12 +189,16 @@ def _decode_subframe(bits: _Bits, n: int, depth: int) -> np.ndarray:
         res = _rice_residual(bits, n, order, 4 + method)
         out = np.empty(n, np.int64)
         out[:order] = warm
-        c_arr = coefs
-        for i in range(order, n):
-            acc = 0
-            for j in range(order):
-                acc += c_arr[j] * out[i - 1 - j]
-            out[i] = res[i - order] + (acc >> shift)
+        out[order:] = res
+        if native is not None:
+            _nat.lpc_restore(out, order, coefs, shift)
+        else:
+            c_arr = coefs
+            for i in range(order, n):
+                acc = 0
+                for j in range(order):
+                    acc += c_arr[j] * out[i - 1 - j]
+                out[i] = res[i - order] + (acc >> shift)
     else:
         raise ValueError(f"reserved subframe type {sf_type}")
     if wasted:

@@ -89,3 +89,26 @@ def test_predict_dataset_globs_flac(tmp_path):
     # the kaldi piped/scp path decodes flac too (read_audio dispatch)
     d2, sr2 = F.read_audio(tmp_path / "b_rec.flac")
     np.testing.assert_array_equal(_quant(d2), xi)
+
+
+def test_native_matches_python_decoder(monkeypatch):
+    """The C hot path (data/_native.py: Rice residuals, VERBATIM reads,
+    FIXED/LPC restores) decodes bit-identically to the pure-Python oracle
+    on a file mixing subframe types."""
+    from fseend_tpu.data import flac as flac_mod
+
+    if flac_mod._nat is None or flac_mod._nat.lib is None:
+        pytest.skip("native FLAC path unavailable (no C compiler)")
+    rng = np.random.default_rng(3)
+    t = np.arange(30000) / 8000.0
+    x = np.stack([
+        0.4 * np.sin(2 * np.pi * 180 * t) + 0.2 * rng.standard_normal(len(t)),
+        np.concatenate([np.zeros(10000),                 # constant
+                        rng.standard_normal(10000) * 0.9,  # verbatim-ish
+                        0.3 * np.sin(2 * np.pi * 90 * t[:10000])]),
+    ], axis=1).astype(np.float32)
+    write_flac("/tmp/flac_mix.flac", x, 8000)
+    y_nat, _ = read_flac("/tmp/flac_mix.flac")
+    monkeypatch.setattr(flac_mod, "_nat", None)
+    y_py, _ = read_flac("/tmp/flac_mix.flac")
+    np.testing.assert_array_equal(y_nat, y_py)
