@@ -60,9 +60,6 @@ class LSEENDConfig:
     use_fused_ret: bool = False  # FULLY fused retention layer (projections +
                                  # core + norm/gate/out-proj in one kernel;
                                  # kernels/retention_layer_pallas.py)
-    use_fused_ffn: bool = False  # Pallas fused FFN in serving paths (opt-in;
-                                 # XLA matches it on default shapes — see
-                                 # kernels/ffn_pallas.py)
     use_fused_dec: bool = False  # fully fused decoder fusion layers in the
                                  # batch/chunkwise (TRAINING) pass: fwd AND
                                  # hand-written bwd Pallas kernels with
@@ -185,16 +182,9 @@ def init_ls_eend(key, cfg: LSEENDConfig):
 # ---------------------------------------------------------------------------
 
 
-def _ff(p: Params, x, *, rng=None, rate=0.0, train=False, fused=False):
-    """FeedForwardModule (feed_forward.py:47-57): LN→Linear→swish→Drop→Linear→Drop.
-
-    fused=True routes the two linears through the Pallas fused-FFN kernel
-    (inference paths; keeps the dim_ff hidden in VMEM)."""
+def _ff(p: Params, x, *, rng=None, rate=0.0, train=False):
+    """FeedForwardModule (feed_forward.py:47-57): LN→Linear→swish→Drop→Linear→Drop."""
     h = nn.layer_norm(p["norm"], x)
-    if fused and not train:
-        from fseend_tpu.kernels.ffn_pallas import fused_ffn
-
-        return fused_ffn(p, h, "silu")
     r1, r2 = jax.random.split(rng) if rng is not None else (None, None)
     h = nn.dropout(r1, jax.nn.silu(nn.linear(p["linear1"], h)), rate, train)
     return nn.dropout(r2, nn.linear(p["linear2"], h), rate, train)
@@ -717,14 +707,13 @@ def _conv_module_block(p: Params, bn_state, x: jnp.ndarray, cache: jnp.ndarray,
 
 def _enc_block_blockstream(p: Params, bn_state, x: jnp.ndarray, st: Params,
                            cfg: LSEENDConfig, rc: R.RetentionConfig):
-    fused = cfg.use_fused_ffn
-    x = x + cfg.ff_factor * _ff(p["ff1"], x, fused=fused)
+    x = x + cfg.ff_factor * _ff(p["ff1"], x)
     h = nn.layer_norm(p["ret_norm"], x)
     h, ret_state = R.retention_chunkwise_stateful(p["ret"], h, st["ret"], rc)
     x = x + h
     h, conv_cache = _conv_module_block(p["conv"], bn_state, x, st["conv"], cfg)
     x = x + h
-    x = x + cfg.ff_factor * _ff(p["ff2"], x, fused=fused)
+    x = x + cfg.ff_factor * _ff(p["ff2"], x)
     x = nn.layer_norm(p["final_norm"], x)
     return x, {"ret": ret_state, "conv": conv_cache}
 
@@ -782,13 +771,7 @@ def ls_blockstream_step(params: Params, state: Params, cfg: LSEENDConfig,
         x = xt.reshape(B, n_slots, K, cfg.n_units).swapaxes(1, 2)
         s = nn.mha(lp["spk_attn"], x, x, x, None)
         x = nn.layer_norm(lp["norm21"], x + s)
-        if cfg.use_fused_ffn:
-            from fseend_tpu.kernels.ffn_pallas import fused_ffn
-
-            ff = fused_ffn(lp, x, "relu")
-        else:
-            ff = nn.ff_block(lp, x)
-        x = nn.layer_norm(lp["norm22"], x + ff)
+        x = nn.layer_norm(lp["norm22"], x + nn.ff_block(lp, x))
         new_dec.append(ret_state)
     attractors = nn.l2_normalize(x)
     logits = jnp.einsum("bkd,bkcd->bkc", emb, attractors,

@@ -104,50 +104,6 @@ def test_pure_core_matches_ops_retention_math(rng):
     np.testing.assert_allclose(np.asarray(y_core), np.asarray(y_ref), atol=1e-5)
 
 
-def test_fused_ffn_matches_plain(rng):
-    """Fused FFN kernel (interpret mode) == linear-act-linear, both acts,
-    incl. the fallback path for non-tiling shapes."""
-    import jax.numpy as jnp
-
-    from fseend_tpu.kernels.ffn_pallas import fused_ffn
-    from fseend_tpu.ops import nn as N
-
-    p = {"linear1": N.torch_linear_init(jax.random.PRNGKey(0), 256, 512),
-         "linear2": N.torch_linear_init(jax.random.PRNGKey(1), 512, 256)}
-    x = jnp.asarray(rng.standard_normal((2, 128, 256)), jnp.float32)  # N=256
-    for act, fn in [("relu", jax.nn.relu), ("silu", jax.nn.silu)]:
-        ref = N.linear(p["linear2"], fn(N.linear(p["linear1"], x)))
-        got = fused_ffn(p, x, act, tile=256, interpret=True)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
-    # fallback (N % tile != 0) stays correct
-    x2 = jnp.asarray(rng.standard_normal((3, 7, 256)), jnp.float32)
-    ref2 = N.linear(p["linear2"], jax.nn.relu(N.linear(p["linear1"], x2)))
-    got2 = fused_ffn(p, x2, "relu", tile=256)
-    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), atol=2e-5)
-
-
-def test_fused_ffn_grads(rng):
-    import jax.numpy as jnp
-
-    from fseend_tpu.kernels.ffn_pallas import fused_ffn
-    from fseend_tpu.ops import nn as N
-
-    p = {"linear1": N.torch_linear_init(jax.random.PRNGKey(0), 128, 256),
-         "linear2": N.torch_linear_init(jax.random.PRNGKey(1), 256, 128)}
-    x = jnp.asarray(rng.standard_normal((256, 128)), jnp.float32)
-
-    def f(pp, fused):
-        if fused:
-            return jnp.sum(fused_ffn(pp, x, "relu", tile=256, interpret=True) ** 2)
-        return jnp.sum(N.linear(pp["linear2"],
-                                jax.nn.relu(N.linear(pp["linear1"], x))) ** 2)
-
-    g1 = jax.grad(lambda pp: f(pp, True))(p)
-    g2 = jax.grad(lambda pp: f(pp, False))(p)
-    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
-
-
 def test_pick_group_vmem_cap():
     """The row-group G must stay within the measured VMEM budget: G=8 at
     serving/training chunks (128/125), capped to G=2 at chunk 500 (an
