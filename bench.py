@@ -132,12 +132,17 @@ def main():
 
     if not os.environ.get("BENCH_NO_SERVE"):
         if not os.environ.get("BENCH_SKIP_PERFRAME"):
-            # --- mode 1: per-frame recurrent scan (fast compile ~2 min) ---
+            # --- mode 1: per-frame recurrent scan (fast compile ~2 min).
+            # frame_kernel=False EXPLICITLY: the server's shipped default is
+            # now auto-ON for 128-aligned LS lanes, and this row exists to
+            # keep measuring the XLA-scan baseline the kernel is judged
+            # against (mode 1b measures the kernel).
             block = int(os.environ.get("BENCH_BLOCK", "500"))
             n_rep = int(os.environ.get("BENCH_BLOCKS", "10"))
             server = StreamingServer(kind="ls", cfg=cfg, params=params,
                                      model_state=mstate, n_lanes=lanes,
-                                     n_slots=cfg.max_nspks, dtype=dt)
+                                     n_slots=cfg.max_nspks, dtype=dt,
+                                     frame_kernel=False)
             xs = jax.device_put(
                 jnp.asarray(rng.standard_normal((lanes, block, cfg.in_size)), dt))
             p, _ = server.process_block(xs)

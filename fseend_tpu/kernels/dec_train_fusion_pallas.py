@@ -248,18 +248,21 @@ def _chunk_fwd(x_dt, kv_in, s_in, refs, seed, b, n, *,
         qh = qkv_dt[..., h * hd:(h + 1) * hd]            # (C, L, hd)
         kh = qkv_dt[..., D + h * hd:D + (h + 1) * hd]
         vh = qkv_dt[..., 2 * D + h * hd:2 * D + (h + 1) * hd]
+        # weights live KEY-SLOT-MINOR (C, L, Cj): per-slot access is then a
+        # minor-axis size-1 SLICE.  The (C, Cj, L) layout needs a
+        # (C,1,L)->(C,L,1) reshape per slot, i.e. a minor-dim insertion,
+        # which Mosaic only lowers for 32-bit types — in bf16 it fails with
+        # "Insertion of minor dim that is not a no-op only supported for
+        # 32-bit types" (hit on-chip 2026-08-19; the f32 interpret tests
+        # can't see it).  The stacks below insert minor dims on f32 only.
         scores = jnp.stack(
             [jnp.sum((qh * kh[cj:cj + 1]).astype(f32), axis=-1)
-             for cj in range(C)], axis=1) * inv          # (C, Cj, L) f32
-        w = jax.nn.softmax(scores, axis=1)
+             for cj in range(C)], axis=-1) * inv         # (C, L, Cj) f32
+        w = jax.nn.softmax(scores, axis=-1)
         wd_dt, m1h = drop(w.astype(dt), _SITE_ATTNW + 16 * h)
         acc = jnp.zeros((C, L, hd), f32)
         for cj in range(C):
-            # NB: w[:, cj, :, None] (mid-axis int index) lowers to a >2D
-            # gather Mosaic rejects; the slice+reshape spelling is free
-            # ((C,1,L) -> (C,L,1) preserves linear order)
-            wcol = wd_dt[:, cj:cj + 1, :].reshape(C, L, 1)
-            acc = acc + (wcol * vh[cj][None]).astype(f32)
+            acc = acc + (wd_dt[:, :, cj:cj + 1] * vh[cj][None]).astype(f32)
         attn_heads.append(acc)
         if collect:
             st[f"w{h}"] = w.astype(dt)
@@ -308,9 +311,13 @@ def _fwd_kernel(seed_ref, x_ref, *rest, C, L, D, H, F, N, rate):
 
     kv_in = kv_scr[...]
     s_in = s_scr[...]
-    # checkpoint the INCOMING state for the backward's recompute
+    # checkpoint the INCOMING state for the backward's recompute.  ss is
+    # carried (B, N, H, C, 1, 1) so the write needs NO reshape: Mosaic's
+    # layout inference rejects the (1,1,H,C)<->(H,C,1,1) shape cast
+    # ("infer-vector-layout: unsupported shape cast", hit on-chip
+    # 2026-08-19 — the unit dims move from major to minor, a relayout).
     kvs_ref[0, 0] = kv_in.astype(kvs_ref.dtype)
-    ss_ref[0, 0] = s_in[:, :, 0, 0].astype(ss_ref.dtype)
+    ss_ref[0, 0] = s_in.astype(ss_ref.dtype)
 
     x_dt = x_ref[0, :, 0]                                # (C, L, D)
     y, kv_out, s_out, _ = _chunk_fwd(
@@ -353,7 +360,7 @@ def _bwd_kernel(seed_ref, x_ref, dy_ref, kvs_ref, ss_ref, *rest,
     x_dt = x_ref[0, :, 0]
     dt = x_dt.dtype
     kv_in = kvs_ref[0, 0].astype(f32)
-    s_in = ss_ref[0, 0].astype(f32)[:, :, None, None]
+    s_in = ss_ref[0, 0].astype(f32)          # (H, C, 1, 1) — no reshape
     _, _, _, st = _chunk_fwd(
         x_dt, kv_in, s_in, refs, seed_ref[0, 0], b, jnp.asarray(n),
         C=C, L=L, D=D, H=H, F=F, rate=rate, collect=True)
@@ -418,27 +425,27 @@ def _bwd_kernel(seed_ref, x_ref, dy_ref, kvs_ref, ss_ref, *rest,
         kh = qkv_dt[..., D + h * hd:D + (h + 1) * hd]
         vh = qkv_dt[..., 2 * D + h * hd:2 * D + (h + 1) * hd]
         dah = dattn[..., h * hd:(h + 1) * hd]            # (C, L, hd) f32
-        w = st[f"w{h}"].astype(f32)                      # (C, Cj, L)
+        w = st[f"w{h}"].astype(f32)                      # (C, L, Cj)
         m1h = st[f"m1_{h}"]
         wd = w if m1h is None else w * m1h.astype(f32)
         dah_dt = dah.astype(dt)
-        # d(w_dropped)[c, cj, l] = sum_hd dah[c,l,:] * vh[cj,l,:]
+        # d(w_dropped)[c, l, cj] = sum_hd dah[c,l,:] * vh[cj,l,:]
+        # (key-slot-minor layout throughout: per-slot access is a minor-axis
+        # slice; minor-dim INSERTION on bf16 is Mosaic-rejected — see fwd)
         dwd = jnp.stack(
             [jnp.sum((dah_dt * vh[cj:cj + 1]).astype(f32), axis=-1)
-             for cj in range(C)], axis=1)                # (C, Cj, L)
-        # dv[cj] = sum_ci wd[ci,cj,:] * dah[ci]
-        # (int indexing beyond the leading axis lowers to a >2D gather
-        # Mosaic rejects — spell every per-(ci,cj) plane as slice+reshape)
+             for cj in range(C)], axis=-1)               # (C, L, Cj)
+        # dv[cj] = sum_ci wd[ci,:,cj] * dah[ci]
         dvh = jnp.stack(
-            [sum((wd[ci, cj:cj + 1, :].reshape(L, 1) * dah[ci])
+            [sum((wd[ci, :, cj:cj + 1] * dah[ci])
                  for ci in range(C))
              for cj in range(C)], axis=0)                # (C, L, hd)
         dw = dwd if m1h is None else dwd * m1h.astype(f32)
-        dscore = (w * (dw - jnp.sum(dw * w, axis=1, keepdims=True))) * inv
-        dqh = sum((dscore[:, cj:cj + 1, :].reshape(C, L, 1)
+        dscore = (w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))) * inv
+        dqh = sum((dscore[:, :, cj:cj + 1]
                    * kh[cj][None].astype(f32)) for cj in range(C))
         dkh = jnp.stack(
-            [sum((dscore[ci, cj:cj + 1, :].reshape(L, 1)
+            [sum((dscore[ci, :, cj:cj + 1]
                   * qh[ci].astype(f32))
                  for ci in range(C)) for cj in range(C)], axis=0)
         dqkv_heads_q.append(dqh)
@@ -576,12 +583,13 @@ def _fwd_call(x5, seed, ops, H: int, rate: float, interpret: bool):
         out_specs=[
             pl.BlockSpec((1, C, 1, L, D), lambda b, n: (b, 0, n, 0, 0)),
             pl.BlockSpec((1, 1, H, C, dk, dk), lambda b, n: (b, n, 0, 0, 0, 0)),
-            pl.BlockSpec((1, 1, H, C), lambda b, n: (b, n, 0, 0)),
+            pl.BlockSpec((1, 1, H, C, 1, 1),
+                         lambda b, n: (b, n, 0, 0, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(x5.shape, x5.dtype),
             jax.ShapeDtypeStruct((B, N, H, C, dk, dk), jnp.float32),
-            jax.ShapeDtypeStruct((B, N, H, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, H, C, 1, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((H, C, dk, dk), jnp.float32),
@@ -614,8 +622,8 @@ def _bwd_call(x5, dy5, kvs, ss, seed, ops, H: int, rate: float,
                          lambda b, n, _N=N: (b, 0, _N - 1 - n, 0, 0)),
             pl.BlockSpec((1, 1, H, C, dk, dk),
                          lambda b, n, _N=N: (b, _N - 1 - n, 0, 0, 0, 0)),
-            pl.BlockSpec((1, 1, H, C),
-                         lambda b, n, _N=N: (b, _N - 1 - n, 0, 0)),
+            pl.BlockSpec((1, 1, H, C, 1, 1),
+                         lambda b, n, _N=N: (b, _N - 1 - n, 0, 0, 0, 0)),
             *_const_specs(ops),
         ],
         out_specs=[

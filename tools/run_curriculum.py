@@ -165,6 +165,10 @@ def main():
     ap.add_argument("--ff_expansion", type=int, default=2)
     ap.add_argument("--chunk", type=int, default=100)
     ap.add_argument("--lr", type=float, default=0.001)
+    ap.add_argument("--init_ckpt", default=None,
+                    help="warm-start the FIRST stage in --stages from this "
+                         "checkpoint (chain a partial rerun, e.g. stages "
+                         "5,6,7,8, off an earlier run's stage-4 avg ckpt)")
     args = ap.parse_args()
 
     os.makedirs(args.work, exist_ok=True)
@@ -181,7 +185,7 @@ def main():
                     "--dur", str(args.dur), "--seed", str(seed)])
 
     results = []
-    init_ckpt = None
+    init_ckpt = args.init_ckpt
     for ns in stages:
         name = f"curr_{args.model}_ns{ns}"
         cfg_path = os.path.join(args.work, f"{name}.yaml")
