@@ -98,6 +98,11 @@ long long flac_rice_residual(const uint8_t *data, long long nbits,
     uint64_t escape = (1ull << param_bits) - 1ull;
     for (long long p = 0; p < n_parts; p++) {
         long long count = (n >> part_order) - (p == 0 ? predictor_order : 0);
+        /* malformed/malicious input: a partition shorter than the predictor
+         * order gives count < 0 (idx would go negative -> OOB write), and a
+         * bogus partition order can overrun the n - predictor_order output
+         * buffer.  Reject both like any other bitstream overrun. */
+        if (count < 0 || idx + count > n - predictor_order) return -1;
         uint64_t param;
         if (rd(&b, param_bits, &param)) return -1;
         if (param == escape) {

@@ -118,6 +118,13 @@ def _rice_residual(bits: _Bits, n: int, predictor_order: int,
     escape = (1 << param_bits) - 1
     for p in range(n_parts):
         count = (n >> part_order) - (predictor_order if p == 0 else 0)
+        # malformed input: count < 0 would wrap via negative indexing
+        # (silently wrong decode); an oversized partition set would overrun
+        # the residual buffer.  Mirror the native decoder's hard reject.
+        if count < 0 or idx + count > n - predictor_order:
+            raise ValueError("FLAC rice residual: partition layout overruns "
+                             f"the residual buffer (order={part_order}, "
+                             f"n={n}, predictor_order={predictor_order})")
         param = bits.read(param_bits)
         if param == escape:           # escape: raw nbits-coded residuals
             raw_bits = bits.read(5)

@@ -91,6 +91,25 @@ def test_predict_dataset_globs_flac(tmp_path):
     np.testing.assert_array_equal(_quant(d2), xi)
 
 
+def test_rice_residual_rejects_negative_partition(monkeypatch):
+    """A malformed frame whose first Rice partition is shorter than the
+    predictor order (count < 0) must be rejected, not written out-of-bounds
+    (native) or silently wrap-indexed (python)."""
+    from fseend_tpu.data import flac as flac_mod
+
+    # partition order 3 over n=16 samples -> 2 samples/partition; LPC order
+    # 8 makes the first partition's count = 2 - 8 = -6.
+    # bitstream: 4 bits part_order=3, then per-partition 4-bit rice params
+    # of 0 and all-zero payload bits.
+    payload = bytes([0b0011_0000] + [0] * 64)
+    if flac_mod._nat is not None and flac_mod._nat.lib is not None:
+        with pytest.raises(IndexError, match="overrun"):
+            flac_mod._rice_residual(flac_mod._Bits(payload), 16, 8, 4)
+    monkeypatch.setattr(flac_mod, "_nat", None)
+    with pytest.raises(ValueError, match="overruns"):
+        flac_mod._rice_residual(flac_mod._Bits(payload), 16, 8, 4)
+
+
 def test_native_matches_python_decoder(monkeypatch):
     """The C hot path (data/_native.py: Rice residuals, VERBATIM reads,
     FIXED/LPC restores) decodes bit-identically to the pure-Python oracle
