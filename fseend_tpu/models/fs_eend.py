@@ -477,6 +477,139 @@ def fs_blockstream_step(params: Params, state: Params, cfg: FSEENDConfig,
     return new_state, logits
 
 
+# ---------------------------------------------------------------------------
+# per-frame-EXACT fast block — prefix attention read once per block
+# ---------------------------------------------------------------------------
+#
+# `fs_stream_step` re-reads the FULL capacity-sized KV caches every frame
+# (~550 MB/frame-step at 64 lanes/cap 2048 — BENCH r4 measured it 120x
+# slower than blockwise).  Masked attention is evaluation-order invariant,
+# so a block of K frames can be advanced in ONE pass that reads the history
+# prefix once and handles intra-block causality with a (K, cap) mask —
+# K x less cache traffic and MXU-shaped (K x cap) matmuls — while every
+# output frame still depends only on inputs <= its own stream time.  This
+# is the FS analog of LS chunkwise recurrence (SURVEY.md §5.7): identical
+# per-frame semantics (the reference's streaming_tfm.py:15-37 growing-KV
+# loop), not the one-block-lag blockwise mode above.
+#
+# Decoder cache convention: position = STREAM clock t (not the emitted
+# clock u = t - conv_delay of fs_stream_step).  The first `conv_delay`
+# positions hold pre-warm-up garbage and are masked out of every read
+# (min_pos), so writes are uniform (no per-frame gating).  Attention is
+# position-agnostic (causal mask only), so this relabeling is exact.
+#
+# Contract (both hold for real streams; asserted nowhere, documented here):
+#   * per lane, flush frames are a SUFFIX of the stream (the conv-tail
+#     drain) — flush-frame encoder cache writes land at positions no real
+#     query ever attends;
+#   * lane stream length + conv_delay <= capacity (flush steps keep
+#     clocking t past the last real frame).
+
+
+def _cached_attention_block_perlane(attn_p: Params, x_q: jnp.ndarray,
+                                    cache: Params, start: jnp.ndarray,
+                                    min_pos: int = 0):
+    """K-query attention against a fixed-capacity cache with PER-LANE write
+    positions (lanes serve independent streams — continuous batching).
+
+    x_q: (B, ..., K, D); cache k/v: (B, ..., H, cap, hd); start: (B,).
+    Writes lane b's block k/v at [start[b], start[b]+K); query i of lane b
+    attends positions p with min_pos <= p <= start[b] + i."""
+    q, k, v = nn.mha_project_qkv(attn_p, x_q, x_q, x_q)  # (B, ..., H, K, hd)
+    K = x_q.shape[-2]
+    cap = cache["k"].shape[-2]
+
+    def upd(c, kk, s):
+        return jax.lax.dynamic_update_slice_in_dim(c, kk, s, axis=-2)
+
+    new_k = jax.vmap(upd)(cache["k"], k, start)
+    new_v = jax.vmap(upd)(cache["v"], v, start)
+    pos = jnp.arange(cap)
+    qpos = start[:, None] + jnp.arange(K)[None, :]       # (B, K)
+    # the self position is ALWAYS attendable: a pre-warm-up decoder query
+    # (qpos < min_pos) would otherwise see an all-masked row -> NaN, and the
+    # NaN output poisons the NEXT layer's cache writes.  For queries past
+    # min_pos the self position already satisfies the standard condition,
+    # so this changes nothing on valid frames (their garbage-free outputs
+    # are what the parity tests pin).
+    ok = ((pos[None, None, :] <= qpos[:, :, None])
+          & (pos[None, None, :] >= min_pos)) \
+        | (pos[None, None, :] == qpos[:, :, None])
+    mask = jnp.where(ok, 0.0, nn.NEG_INF)                # (B, K, cap)
+    mask = mask.reshape((mask.shape[0],) + (1,) * (q.ndim - 3) + (K, cap))
+    out = nn.mha_core(q, new_k, new_v, mask)
+    out = nn._merge_heads(out)
+    return nn.linear(attn_p["out_proj"], out), {"k": new_k, "v": new_v}
+
+
+def fs_framestream_block(params: Params, state: Params, cfg: FSEENDConfig,
+                         bn_state, xs: jnp.ndarray, n_slots: int,
+                         flush: jnp.ndarray):
+    """Advance `fs_stream_init` state by a block of K frames with EXACT
+    per-frame streaming semantics (output i = frame start+i-conv_delay,
+    `valid` gating identical to fs_stream_step; tested equal to the
+    per-frame scan).
+
+    xs: (B, K, in_size); flush: (B, K) bool (per-lane conv-drain tails).
+    Returns (new_state, (logits (B, K, n_slots) f32, valid (B, K) bool))."""
+    B, K, _ = xs.shape
+    t = state["t"]                                       # (B,) lane clocks
+    flush = jnp.broadcast_to(jnp.asarray(flush, bool), (B, K))
+
+    # --- encoder (eval-mode BN: running stats) ---
+    h, _ = nn.batch_norm(params["enc"]["bn"], bn_state, xs, train=False)
+    h = nn.layer_norm(params["enc"]["norm"],
+                      nn.linear(params["enc"]["proj"], h))
+    new_enc_kv = []
+    for lp, cache in zip(params["enc"]["layers"], state["enc_kv"]):
+        a, new_cache = _cached_attention_block_perlane(
+            lp["self_attn"], h, cache, t)
+        h = nn.layer_norm(lp["norm1"], h + a)
+        h = nn.layer_norm(lp["norm2"], h + nn.ff_block(lp, h))
+        new_enc_kv.append(new_cache)
+    # flush steps push zeros into the conv, bypassing the encoder output
+    # (the garbage they wrote to the caches above is never attended by a
+    # real query — see the flush-suffix contract)
+    h = jnp.where(flush[..., None], 0.0, h)
+
+    # --- look-ahead conv over the rolling window ---
+    window = jnp.concatenate([state["conv_buf"][:, 1:], h], axis=1)
+    emb = nn.conv1d(params["cnn"], window, padding=[(0, 0)])  # (B, K, D)
+    emb = nn.l2_normalize(emb)
+    valid = (t[:, None] + jnp.arange(K)[None, :]) >= cfg.conv_delay  # (B, K)
+
+    # --- decoder (stream-clock cache positions; pre-warm-up rows masked) ---
+    pe = nn.sinusoidal_table(cfg.pe_max_len, cfg.n_units)[:n_slots] \
+        .astype(emb.dtype)
+    x = jnp.concatenate(
+        [jnp.broadcast_to(emb[:, :, None, :], (B, K, n_slots, cfg.n_units)),
+         jnp.broadcast_to(pe[None, None], (B, K, n_slots, cfg.n_units))],
+        axis=-1)
+    x = nn.linear(params["dec"]["convert"], x)           # (B, K, C, D)
+    new_dec_kv = []
+    for lp, cache in zip(params["dec"]["layers"], state["dec_kv"]):
+        xt = x.swapaxes(1, 2)                            # (B, C, K, D)
+        a, new_cache = _cached_attention_block_perlane(
+            lp["time_attn"], xt, cache, t, min_pos=cfg.conv_delay)
+        xt = nn.layer_norm(lp["norm11"], xt + a)
+        x = xt.swapaxes(1, 2)
+        s = nn.mha(lp["spk_attn"], x, x, x, None)
+        x = nn.layer_norm(lp["norm21"], x + s)
+        x = nn.layer_norm(lp["norm22"], x + nn.ff_block(lp, x))
+        new_dec_kv.append(new_cache)
+    attractors = nn.l2_normalize(x)
+    logits = jnp.einsum("bkd,bkcd->bkc", emb, attractors,
+                        preferred_element_type=jnp.float32)
+    new_state = {
+        "t": t + K,
+        "emitted": jnp.maximum(t + K - cfg.conv_delay, 0),
+        "enc_kv": new_enc_kv,
+        "conv_buf": window[:, -cfg.conv_kernel_size:],
+        "dec_kv": new_dec_kv,
+    }
+    return new_state, (logits, valid)
+
+
 def fs_blockstream_run(params: Params, cfg: FSEENDConfig, bn_state,
                        xs: jnp.ndarray, n_slots: int, block: int):
     """Whole-clip blockwise streaming; exactly equals the batch fs_forward."""

@@ -46,16 +46,29 @@ class StreamingServer:
     # ls only: run process_block with the attractor decoder fused into the
     # Pallas frame-scan kernel (states VMEM-resident across the block) —
     # same per-frame latency semantics, ~bandwidth-bound -> compute-bound.
-    # None = AUTO (the shipped default): on for LS when n_lanes is
-    # 128-aligned — the swept frontier (docs/results/latency_frontier_r4.
-    # json) shows it dominating every other operating point (416.8k f/s @
-    # 0.307 ms vs per-frame XLA 269.3k @ 0.475 ms and blockwise K=128
-    # 404.3k @ 12.8 s), and the 2026-08-18 chip probe showed non-128-aligned
-    # lane counts fail Mosaic lowering, hence the alignment gate.
+    # None = AUTO (the shipped default): on for LS at EXACTLY n_lanes=128 —
+    # the swept frontier (docs/results/latency_frontier_r4.json) shows it
+    # dominating every other operating point (416.8k f/s @ 0.307 ms vs
+    # per-frame XLA 269.3k @ 0.475 ms and blockwise K=128 404.3k @ 12.8 s).
+    # 128 is the only chip-validated lane count: the 2026-08-18 probe showed
+    # >128 lanes (and finer lane groups) fail Mosaic lowering, so the auto
+    # default must not silently break a previously-working n_lanes=256 XLA
+    # server.  Pass frame_kernel=True explicitly for sharded multi-chip
+    # setups where the per-device shard is 128 lanes.
     frame_kernel: bool | None = None
     # with frame_kernel: also run the conformer encoder as a frame-scan
     # kernel (False = XLA per-frame scan for the encoder only)
     frame_kernel_enc: bool = True
+    # fs only: advance streams with the per-frame-EXACT fast block
+    # (fs_eend.fs_framestream_block — history prefix read once per
+    # sub-block instead of once per frame; ~K x less KV-cache HBM traffic,
+    # measured 120x at r4 shapes).  False = the frame-by-frame scan of
+    # fs_stream_step (the oracle path the fast block is tested against).
+    fs_fast: bool = True
+    # fs_fast sub-block length: blocks are scanned in L-frame pieces to
+    # bound the (B, C, H, L, cap) attention-score working set.  None =
+    # largest divisor of the incoming block size <= 128.
+    fs_fast_chunk: int | None = None
     # set by shard_server_over_mesh: XLA's SPMD partitioner cannot split a
     # pallas custom call, so the frame-kernel block runs under an explicit
     # lane-sharded shard_map when a mesh is attached
@@ -64,7 +77,7 @@ class StreamingServer:
     def __post_init__(self):
         if self.frame_kernel is None:
             self.frame_kernel = (self.kind == "ls"
-                                 and self.n_lanes % 128 == 0
+                                 and self.n_lanes == 128
                                  and jax.default_backend() == "tpu")
         if self.frame_kernel and self.kind != "ls":
             raise ValueError("frame_kernel=True is LS-only (the FS decoder's "
@@ -93,6 +106,16 @@ class StreamingServer:
     # -- single frame ------------------------------------------------------
     def _step_impl(self, state, x_t, flush):
         if self.kind == "fs":
+            if self.fs_fast:
+                # K=1 fast block: keeps the decoder-cache layout consistent
+                # with process_block (stream-clock positions), so step() and
+                # block calls interleave on one stream
+                B = x_t.shape[0]
+                fl = jnp.broadcast_to(jnp.asarray(flush, bool), (B,))
+                state, (logits, valid) = fs_eend.fs_framestream_block(
+                    self.params, state, self.cfg, self.model_state["bn"],
+                    x_t[:, None, :], self.n_slots, fl[:, None])
+                return state, {"logits": logits[:, 0], "valid": valid[:, 0]}
             return fs_eend.fs_stream_step(self.params, state, self.cfg,
                                           self.model_state["bn"], x_t,
                                           self.n_slots, flush)
@@ -140,6 +163,31 @@ class StreamingServer:
                 state, (logits, valid) = run(self.params, self.model_state,
                                              state, xs, flush)
             return state, (self._probs(logits.swapaxes(0, 1)), valid)
+
+        if self.kind == "fs" and self.fs_fast:
+            # per-frame-EXACT fast blocks: scan over L-frame sub-blocks so
+            # the (B, C, H, L, cap) score working set stays bounded while
+            # the KV caches are read once per SUB-BLOCK, not once per frame
+            B, K, _ = xs.shape
+            L = self.fs_fast_chunk or max(
+                d for d in range(1, min(K, 128) + 1) if K % d == 0)
+            assert K % L == 0, (K, L)
+            flush_bk = flush.swapaxes(0, 1)              # (B, K)
+
+            def body(carry, inp):
+                x_i, fl_i = inp
+                new_state, (logits, valid) = fs_eend.fs_framestream_block(
+                    self.params, carry, self.cfg, self.model_state["bn"],
+                    x_i, self.n_slots, fl_i)
+                return new_state, (logits, valid)
+
+            xs_r = xs.reshape(B, K // L, L, -1).swapaxes(0, 1)
+            fl_r = flush_bk.reshape(B, K // L, L).swapaxes(0, 1)
+            state, (logits, valid) = jax.lax.scan(body, state, (xs_r, fl_r))
+            # (NS, B, L, C) -> (B, K, C); (NS, B, L) -> (K, B)
+            logits = logits.swapaxes(0, 1).reshape(B, K, -1)
+            valid = valid.swapaxes(0, 1).reshape(B, K).swapaxes(0, 1)
+            return state, (self._probs(logits), valid)
 
         def body(carry, inp):
             x_t, fl = inp

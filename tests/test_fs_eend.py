@@ -126,3 +126,70 @@ def test_blockstream_exact_vs_batch(model, rng):
     blk2 = M.fs_blockstream_run(params, CFG, state["bn"], xs2, 4, block=K)
     np.testing.assert_allclose(np.asarray(blk2), np.asarray(batch2["logits"]),
                                atol=1e-5)
+
+
+def test_framestream_block_exact_vs_frame_scan(model, rng):
+    """fs_framestream_block (prefix read once per block) == the per-frame
+    fs_stream_step scan, for every output frame and the `valid` gating,
+    across warm-up, odd block splits, per-lane clock skew, and the
+    conv-drain flush tail."""
+    params, state = model
+    B, T = 2, 17
+    cap = T + CFG.conv_delay + 2
+    xs = jnp.asarray(rng.standard_normal((B, T, CFG.in_size)), jnp.float32)
+    pad = jnp.zeros((B, CFG.conv_delay, CFG.in_size), jnp.float32)
+    seq = jnp.concatenate([xs, pad], axis=1)
+    flush = jnp.broadcast_to(
+        (jnp.arange(T + CFG.conv_delay) >= T)[None], (B, T + CFG.conv_delay))
+
+    # oracle: per-frame scan
+    st0 = M.fs_stream_init(CFG, B, cap, 4)
+    logits_ref, _ = M.fs_stream_scan(params, st0, CFG, state["bn"], xs, 4)
+
+    # fast path: uneven block split (5 + 1 + 14), per-lane flush suffix
+    st = M.fs_stream_init(CFG, B, cap, 4)
+    outs, vals = [], []
+    for lo, hi in ((0, 5), (5, 6), (6, T + CFG.conv_delay)):
+        st, (lg, vd) = M.fs_framestream_block(
+            params, st, CFG, state["bn"], seq[:, lo:hi], 4, flush[:, lo:hi])
+        outs.append(lg)
+        vals.append(vd)
+    logits = jnp.concatenate(outs, axis=1)
+    valid = np.asarray(jnp.concatenate(vals, axis=1))
+    # valid gating identical to the scan: first conv_delay steps invalid
+    assert not valid[:, : CFG.conv_delay].any()
+    assert valid[:, CFG.conv_delay:].all()
+    # output at step t is frame t - conv_delay (same alignment as the scan)
+    np.testing.assert_allclose(np.asarray(logits[:, CFG.conv_delay:]),
+                               np.asarray(logits_ref), atol=2e-5)
+
+
+def test_framestream_per_lane_clock_skew(model, rng):
+    """Lanes at different stream phases (continuous batching): lane 1 is
+    reset mid-flight and its restarted stream matches a solo pass, while
+    lane 0's longer stream is unaffected."""
+    params, state = model
+    cap = 48
+    xa = jnp.asarray(rng.standard_normal((2, 12, CFG.in_size)), jnp.float32)
+    xb = jnp.asarray(rng.standard_normal((2, 9, CFG.in_size)), jnp.float32)
+    nofl = jnp.zeros((2, 12), bool)
+
+    st = M.fs_stream_init(CFG, 2, cap, 4)
+    st, _ = M.fs_framestream_block(params, st, CFG, state["bn"], xa, 4,
+                                   nofl)
+    # reset lane 1 only (zero state + clock), then feed stream B
+    st = jax.tree.map(
+        lambda leaf, z: leaf.at[1].set(z[1]) if leaf.ndim else leaf,
+        st, M.fs_stream_init(CFG, 2, cap, 4))
+    st, (lg, vd) = M.fs_framestream_block(params, st, CFG, state["bn"], xb,
+                                          4, nofl[:, :9])
+
+    solo = M.fs_stream_init(CFG, 2, cap, 4)
+    solo, (lg_s, vd_s) = M.fs_framestream_block(params, solo, CFG,
+                                                state["bn"], xb, 4,
+                                                nofl[:, :9])
+    np.testing.assert_allclose(np.asarray(lg[1]), np.asarray(lg_s[1]),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(vd[1]), np.asarray(vd_s[1]))
+    # lane 0 at clock 12 emits VALID frames for the whole second block
+    assert np.asarray(vd)[0].all()

@@ -56,13 +56,18 @@ def main():
     rng = np.random.default_rng(0)
     rows = []
     block = 250
-    for lanes, cap in ((64, 2048), (64, 1024), (64, 512), (16, 2048),
-                       (128, 2048)):
+    # fast=True: the round-5 per-frame-EXACT fast block (prefix read once
+    # per sub-block); fast=False: the r4 frame-by-frame scan this probe was
+    # written to diagnose (full-cache touch per frame)
+    for lanes, cap, fast in ((64, 2048, False), (64, 1024, False),
+                             (64, 512, False), (16, 2048, False),
+                             (64, 2048, True), (64, 512, True),
+                             (128, 2048, True)):
         try:
             srv = StreamingServer(kind="fs", cfg=cfg, params=params,
                                   model_state=mstate, n_lanes=lanes,
                                   n_slots=cfg.max_nspks, capacity=cap,
-                                  dtype=dt)
+                                  dtype=dt, fs_fast=fast)
             xs = jax.device_put(jnp.asarray(
                 rng.standard_normal((lanes, block, cfg.in_size)), dt))
             p, _ = srv.process_block(xs)
@@ -74,7 +79,7 @@ def main():
             el = time.perf_counter() - t0
             ms = el / block * 1e3
             gb = state_bytes(cfg, lanes, cap) / 1e9
-            rows.append({"lanes": lanes, "capacity": cap,
+            rows.append({"lanes": lanes, "capacity": cap, "fast": fast,
                          "ms_per_frame": round(ms, 3),
                          "frames_per_sec": round(lanes * block / el, 1),
                          "state_gb": round(gb, 3),
