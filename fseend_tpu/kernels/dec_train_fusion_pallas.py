@@ -297,10 +297,15 @@ def _chunk_fwd(x_dt, kv_in, s_in, refs, seed, b, n, *,
     return x3, kv_out, s_out, st
 
 
-def _fwd_kernel(seed_ref, x_ref, *rest, C, L, D, H, F, N, rate):
+def _fwd_kernel(seed_ref, x_ref, *rest, C, L, D, H, F, N, rate,
+                checkpoints=True):
     refs = rest[:14]
-    y_ref, kvs_ref, ss_ref = rest[14:17]
-    kv_scr, s_scr = rest[17:]
+    if checkpoints:
+        y_ref, kvs_ref, ss_ref = rest[14:17]
+        kv_scr, s_scr = rest[17:]
+    else:
+        y_ref = rest[14]
+        kv_scr, s_scr = rest[15:]
     b = pl.program_id(0)
     n = pl.program_id(1)
 
@@ -311,13 +316,14 @@ def _fwd_kernel(seed_ref, x_ref, *rest, C, L, D, H, F, N, rate):
 
     kv_in = kv_scr[...]
     s_in = s_scr[...]
-    # checkpoint the INCOMING state for the backward's recompute.  ss is
-    # carried (B, N, H, C, 1, 1) so the write needs NO reshape: Mosaic's
-    # layout inference rejects the (1,1,H,C)<->(H,C,1,1) shape cast
-    # ("infer-vector-layout: unsupported shape cast", hit on-chip
-    # 2026-08-19 — the unit dims move from major to minor, a relayout).
-    kvs_ref[0, 0] = kv_in.astype(kvs_ref.dtype)
-    ss_ref[0, 0] = s_in.astype(ss_ref.dtype)
+    if checkpoints:
+        # checkpoint the INCOMING state for the backward's recompute.  ss is
+        # carried (B, N, H, C, 1, 1) so the write needs NO reshape: Mosaic's
+        # layout inference rejects the (1,1,H,C)<->(H,C,1,1) shape cast
+        # ("infer-vector-layout: unsupported shape cast", hit on-chip
+        # 2026-08-19 — the unit dims move from major to minor, a relayout).
+        kvs_ref[0, 0] = kv_in.astype(kvs_ref.dtype)
+        ss_ref[0, 0] = s_in.astype(ss_ref.dtype)
 
     x_dt = x_ref[0, :, 0]                                # (C, L, D)
     y, kv_out, s_out, _ = _chunk_fwd(
@@ -565,13 +571,29 @@ def _const_specs(ops):
             for o in ops]
 
 
-def _fwd_call(x5, seed, ops, H: int, rate: float, interpret: bool):
+def _fwd_call(x5, seed, ops, H: int, rate: float, interpret: bool,
+              checkpoints: bool = True):
+    """checkpoints=False (the no-grad/eval path) skips the per-chunk
+    (B,N,H,C,dk,dv)+(B,N,H,C,1,1) f32 state-checkpoint outputs — pure HBM
+    write traffic the VJP-free caller would discard."""
     B, C, N, L, D = x5.shape
     F = ops[8].shape[1]
     dk = D // H
     kern = functools.partial(_fwd_kernel, C=C, L=L, D=D, H=H, F=F, N=N,
-                             rate=rate)
-    y, kvs, ss = pl.pallas_call(
+                             rate=rate, checkpoints=checkpoints)
+    out_specs = [pl.BlockSpec((1, C, 1, L, D), lambda b, n: (b, 0, n, 0, 0))]
+    out_shape = [jax.ShapeDtypeStruct(x5.shape, x5.dtype)]
+    if checkpoints:
+        out_specs += [
+            pl.BlockSpec((1, 1, H, C, dk, dk), lambda b, n: (b, n, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 1, H, C, 1, 1),
+                         lambda b, n: (b, n, 0, 0, 0, 0)),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((B, N, H, C, dk, dk), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, H, C, 1, 1), jnp.float32),
+        ]
+    outs = pl.pallas_call(
         kern,
         grid=(B, N),
         in_specs=[
@@ -580,17 +602,8 @@ def _fwd_call(x5, seed, ops, H: int, rate: float, interpret: bool):
             pl.BlockSpec((1, C, 1, L, D), lambda b, n: (b, 0, n, 0, 0)),
             *_const_specs(ops),
         ],
-        out_specs=[
-            pl.BlockSpec((1, C, 1, L, D), lambda b, n: (b, 0, n, 0, 0)),
-            pl.BlockSpec((1, 1, H, C, dk, dk), lambda b, n: (b, n, 0, 0, 0, 0)),
-            pl.BlockSpec((1, 1, H, C, 1, 1),
-                         lambda b, n: (b, n, 0, 0, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct(x5.shape, x5.dtype),
-            jax.ShapeDtypeStruct((B, N, H, C, dk, dk), jnp.float32),
-            jax.ShapeDtypeStruct((B, N, H, C, 1, 1), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((H, C, dk, dk), jnp.float32),
             pltpu.VMEM((H, C, 1, 1), jnp.float32),
@@ -599,7 +612,9 @@ def _fwd_call(x5, seed, ops, H: int, rate: float, interpret: bool):
             vmem_limit_bytes=framescan_vmem_limit_bytes()),
         interpret=interpret,
     )(seed, x5, *ops)
-    return y, kvs, ss
+    if checkpoints:
+        return outs
+    return outs[0], None, None
 
 
 def _bwd_call(x5, dy5, kvs, ss, seed, ops, H: int, rate: float,
@@ -671,7 +686,8 @@ def _layer_apply(p, x, seed, *, n_heads: int, chunk: int, rate: float,
     N = T // L
     ops = _pack(p, x.dtype)
     x5 = x.reshape(B, C, N, L, D)
-    y, _, _ = _fwd_call(x5, seed, ops, n_heads, rate, interpret)
+    y, _, _ = _fwd_call(x5, seed, ops, n_heads, rate, interpret,
+                        checkpoints=False)
     return y.reshape(B, C, T, D)
 
 
