@@ -58,6 +58,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
     ap.add_argument("--n_spk", type=int, default=2)
+    ap.add_argument("--min_spk", type=int, default=None,
+                    help="mix speaker counts: recording r gets "
+                         "min_spk..n_spk speakers (balanced round-robin) — "
+                         "the reference's pooled stage sets, e.g. "
+                         "swb_sre_tr_ns1n2n3n4_... in LS-EEND/conf/*.yaml "
+                         "comment history")
     ap.add_argument("--n_recs", type=int, default=20)
     ap.add_argument("--dur", type=float, default=60.0)
     ap.add_argument("--pool", type=int, default=40, help="global speaker pool")
@@ -74,9 +80,11 @@ def main():
 
     wav_l, seg_l, utt_l, dur_l, rttm_l = [], [], [], [], []
     n = int(args.sr * args.dur)
+    lo = args.min_spk if args.min_spk is not None else args.n_spk
     for r in range(args.n_recs):
-        rec = f"rec{args.n_spk}spk_{r:04d}"
-        spk_ids = rng.choice(args.pool, size=args.n_spk, replace=False)
+        k = lo + r % (args.n_spk - lo + 1)   # balanced speaker counts
+        rec = f"rec{k}spk_{r:04d}"
+        spk_ids = rng.choice(args.pool, size=k, replace=False)
         audio = args.noise * rng.standard_normal(n)
         for si, sid in enumerate(spk_ids):
             voice = speaker_signal(f0s[sid], n, args.sr, rng)
@@ -105,7 +113,7 @@ def main():
         with open(os.path.join(args.out, name), "w") as f:
             f.write("\n".join(lines) + "\n")
     print(f"{args.out}: {args.n_recs} recs x {args.dur:.0f}s, "
-          f"{args.n_spk} spk each (pool {args.pool})")
+          f"{lo}-{args.n_spk} spk (pool {args.pool})")
 
 
 if __name__ == "__main__":

@@ -169,46 +169,100 @@ def main():
                     help="warm-start the FIRST stage in --stages from this "
                          "checkpoint (chain a partial rerun, e.g. stages "
                          "5,6,7,8, off an earlier run's stage-4 avg ckpt)")
+    # round-5 protocol fixes (the r4 2-4-spk collar-DER collapse was almost
+    # pure FALSE ALARM from attractor slots the stage never trained: the
+    # per-sample nspk+2 loss masking — the reference's own protocol,
+    # oln_tfm_enc_dec.py:75 — leaves slots > nspk+2 untrained, and scoring
+    # every stage with the GLOBAL max_speakers+2 slots counts their firing
+    # as FA):
+    ap.add_argument("--pooled", action="store_true",
+                    help="stage N trains/validates on mixtures of 1..N "
+                         "speakers (the reference's pooled stage sets, "
+                         "e.g. swb_sre_tr_ns1n2n3n4_beta2n2n5n9_100000 in "
+                         "LS-EEND/conf comment history) instead of "
+                         "N-speaker-only data")
+    ap.add_argument("--per_stage_slots", action="store_true",
+                    help="score stage N with max_speakers=N (N+2 slots), "
+                         "like the reference's per-corpus infer configs "
+                         "(callhome 7 / ami 4 / dihard 10 = the corpus's "
+                         "own speaker count); the global --max_spk still "
+                         "bounds the final flagship eval")
+    ap.add_argument("--final_eval", action="store_true",
+                    help="after the last stage, score EVERY stage's val set "
+                         "with the final averaged checkpoint at the global "
+                         "max_speakers — the reference's single-checkpoint "
+                         "Simu1-8spk table protocol (README.md:66-70)")
+    ap.add_argument("--stage_epochs", default=None,
+                    help="comma list overriding --epochs per stage "
+                         "(len == len(--stages))")
+    ap.add_argument("--stage_recs", default=None,
+                    help="comma list overriding --n_recs per stage")
     args = ap.parse_args()
 
     os.makedirs(args.work, exist_ok=True)
     stages = [int(s) for s in args.stages.split(",")]
     py = sys.executable
+    stage_epochs = ([int(e) for e in args.stage_epochs.split(",")]
+                    if args.stage_epochs else [args.epochs] * len(stages))
+    stage_recs = ([int(r) for r in args.stage_recs.split(",")]
+                  if args.stage_recs else [args.n_recs] * len(stages))
+    assert len(stage_epochs) == len(stages) and len(stage_recs) == len(stages)
 
     # 1) data: one (train, val) pair per stage
-    for ns in stages:
-        for split, n, seed in (("tr", args.n_recs, 100 + ns), ("cv", 6, 200 + ns)):
+    for ns, nrec in zip(stages, stage_recs):
+        for split, n, seed in (("tr", nrec, 100 + ns), ("cv", 6, 200 + ns)):
             d = os.path.join(args.work, f"{split}_ns{ns}")
             if not os.path.exists(os.path.join(d, "wav.scp")):
-                sh([py, "tools/make_simu_data.py", "--out", d,
-                    "--n_spk", str(ns), "--n_recs", str(n),
-                    "--dur", str(args.dur), "--seed", str(seed)])
+                cmd = [py, "tools/make_simu_data.py", "--out", d,
+                       "--n_spk", str(ns), "--n_recs", str(n),
+                       "--dur", str(args.dur), "--seed", str(seed)]
+                if args.pooled and split == "tr":
+                    # pool the TRAIN split only: val/test sets stay
+                    # exactly-N-speaker, like the reference's per-count
+                    # SimuNspk eval rows (README.md:66-70) — and comparable
+                    # with the r3/r4 runs' stage tables
+                    cmd += ["--min_spk", "1"]
+                sh(cmd)
 
     results = []
     init_ckpt = args.init_ckpt
-    for ns in stages:
+    for ns, ep, _ in zip(stages, stage_epochs, stage_recs):
         name = f"curr_{args.model}_ns{ns}"
         cfg_path = os.path.join(args.work, f"{name}.yaml")
         make_config(cfg_path, model=args.model,
                     tr_dir=os.path.join(args.work, f"tr_ns{ns}"),
                     cv_dir=os.path.join(args.work, f"cv_ns{ns}"),
-                    max_spk=args.max_spk, epochs=args.epochs,
+                    max_spk=(min(ns, args.max_spk) if args.per_stage_slots
+                             else args.max_spk),
+                    epochs=ep,
                     init_ckpt=init_ckpt, n_units=args.n_units,
                     batch_size=args.batch_size, log_dir=args.work, name=name,
                     on_the_fly=(args.model == "ls"),
                     enc_layers=args.enc_layers, dec_layers=args.dec_layers,
                     ff_dim=args.ff_dim, ff_expansion=args.ff_expansion,
                     chunk=args.chunk, rec_chunk=args.chunk, lr=args.lr)
-        status, payload = stage_status(args.work, name)
-        if status == "done":
-            print(f"stage ns{ns}: already complete ({payload}), skipping "
-                  f"training", flush=True)
-        elif status == "resume":
-            print(f"stage ns{ns}: resuming from {payload}", flush=True)
-            sh([py, "-m", "cli.train", "--configs", cfg_path,
-                "--checkpoint_resume", payload])
-        else:
-            sh([py, "-m", "cli.train", "--configs", cfg_path])
+        for attempt in (0, 1, 2):
+            status, payload = stage_status(args.work, name)
+            if status == "done":
+                print(f"stage ns{ns}: already complete ({payload}), skipping "
+                      f"training", flush=True)
+                break
+            cmd = [py, "-m", "cli.train", "--configs", cfg_path]
+            if status == "resume":
+                print(f"stage ns{ns}: resuming from {payload}", flush=True)
+                cmd += ["--checkpoint_resume", payload]
+            try:
+                sh(cmd)
+                break
+            except subprocess.CalledProcessError as e:
+                # transient remote-compile failures (helper SIGKILL under
+                # host contention) must not sink a multi-hour chain: retry
+                # once from the preemption checkpoint if one was written
+                print(f"stage ns{ns} attempt {attempt} failed (rc="
+                      f"{e.returncode}); stderr tail:\n"
+                      f"{(e.stderr or '')[-2000:]}", flush=True)
+                if attempt == 2:
+                    raise
         vdir = latest_version(args.work, name)
         init_ckpt = os.path.join(vdir, "avg_model.npz")
 
@@ -222,6 +276,43 @@ def main():
         results.append((ns, vdir, epoch_der_table(args.work, name), collar_der))
         print(f"stage ns{ns}: collar DER {collar_der:.4f}", flush=True)
 
+    # flagship protocol: the FINAL chain checkpoint scored on every stage's
+    # val set at the global slot count (the reference's single-checkpoint
+    # Simu1-8spk table, README.md:66-70 + ..._infer.yaml max_speakers)
+    final_rows = []
+    if args.final_eval and results:
+        final_name = f"curr_{args.model}_ns{stages[-1]}"
+        final_vdir = results[-1][1]
+        for ns in stages:
+            ev = os.path.join(args.work, "final_eval", f"ns{ns}")
+            os.makedirs(ev, exist_ok=True)
+            for fn in os.listdir(final_vdir):
+                if fn.startswith("ckpt_epoch=") and \
+                        not os.path.exists(os.path.join(ev, fn)):
+                    os.symlink(os.path.join(final_vdir, fn),
+                               os.path.join(ev, fn))
+            cfg_path = os.path.join(ev, "eval.yaml")
+            make_config(cfg_path, model=args.model,
+                        tr_dir=os.path.join(args.work, f"tr_ns{ns}"),
+                        cv_dir=os.path.join(args.work, f"cv_ns{ns}"),
+                        max_spk=args.max_spk, epochs=stage_epochs[-1],
+                        init_ckpt=None, n_units=args.n_units,
+                        batch_size=args.batch_size, log_dir=ev,
+                        name=f"final_ns{ns}",
+                        on_the_fly=(args.model == "ls"),
+                        enc_layers=args.enc_layers,
+                        dec_layers=args.dec_layers,
+                        ff_dim=args.ff_dim, ff_expansion=args.ff_expansion,
+                        chunk=args.chunk, rec_chunk=args.chunk, lr=args.lr)
+            sh([py, "-m", "cli.train", "--configs", cfg_path,
+                "--test_from_folder", ev])
+            out = sh([py, "-m", "cli.score", "--configs", cfg_path,
+                      "--hyp_dir", os.path.join(ev, "preds_h5")])
+            m = re.search(r"mean der: ([\d.]+)", out.stdout)
+            final_rows.append((ns, float(m.group(1)) if m else float("nan")))
+            print(f"final ckpt on ns{ns} val: collar DER {final_rows[-1][1]:.4f}",
+                  flush=True)
+
     with open(os.path.join(args.work, "RESULTS.md"), "w") as f:
         f.write(f"# {args.model.upper()}-EEND progressive curriculum "
                 f"(synthetic mixtures)\n\n")
@@ -232,6 +323,13 @@ def main():
                 f.write(f"| {e} | {der:.4f} |\n")
             f.write(f"\ncollar-0.25s DER of averaged checkpoint: "
                     f"**{collar_der:.4f}**\n\n")
+        if final_rows:
+            f.write("## final checkpoint on every stage's val set "
+                    f"(single ckpt, max_speakers={args.max_spk})\n\n")
+            f.write("| val set | collar DER |\n|---|---|\n")
+            for ns, d in final_rows:
+                f.write(f"| {ns}-spk | {d:.4f} |\n")
+            f.write("\n")
     print(f"results -> {os.path.join(args.work, 'RESULTS.md')}")
 
 
