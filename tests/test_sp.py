@@ -165,3 +165,131 @@ def test_fs_train_step_sp_dropout_runs(mesh, rng):
     _, m2 = step_sp(st, batch, key)
     assert np.isfinite(float(m1["tot_loss"]))
     np.testing.assert_allclose(float(m1["tot_loss"]), float(m2["tot_loss"]))
+
+
+def _ls_train_fixture(rng, T=32, dropout=0.0):
+    from fseend_tpu.models import ls_eend
+
+    # chunk_size 4 over T=32 on the 8-device mesh: each shard holds exactly
+    # one chunk — the cross-device prefix path is fully exercised
+    cfg = ls_eend.LSEENDConfig(
+        in_size=23, n_units=32, n_heads=4, enc_n_layers=2, dec_n_layers=1,
+        dropout=dropout, chunk_size=4, ff_expansion=2, conv_kernel_size=5,
+        dec_dim_feedforward=64, conv_delay=3, max_nspks=4)
+    params, state = ls_eend.init_ls_eend(jax.random.PRNGKey(0), cfg)
+    B, S = 2, 2
+    batch = {
+        "feats": jnp.asarray(rng.standard_normal((B, T, cfg.in_size)),
+                             jnp.float32),
+        "labels": jnp.asarray((rng.uniform(size=(B, T, S)) > 0.6),
+                              jnp.float32),
+        "lens": jnp.asarray([T, T - 6], jnp.int32),
+        "n_spk": jnp.asarray([2, 1], jnp.int32),
+    }
+    return cfg, params, state, batch
+
+
+def test_sp_retention_chunkwise_matches_single_device(mesh, rng):
+    """γ=1 chunkwise retention with the time axis sharded: the cross-chunk
+    carry is a prefix sum, so one kv all_gather replaces the sequential
+    chain — outputs == single-device retention_chunkwise."""
+    from jax.sharding import PartitionSpec as P
+
+    cfg = R.RetentionConfig(embed_dim=32, num_heads=4, chunk_size=4)
+    p = R.init_retention(jax.random.PRNGKey(1), cfg)
+    x = jnp.asarray(rng.standard_normal((2, 64, 32)), jnp.float32)
+    ref = R.retention_chunkwise(p, x, cfg)
+    got = jax.shard_map(
+        lambda xl: sp._sp_retention_chunkwise(p, xl, cfg, "data"),
+        mesh=mesh, in_specs=P(None, "data", None),
+        out_specs=P(None, "data", None))(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_ls_forward_sp_train_matches_single_device(mesh, rng):
+    """TRAIN-mode sequence-parallel LS forward (retention prefix carry +
+    conv halos + psum'd conv-module BatchNorm) == ls_forward(train=True):
+    logits, emb, AND the updated BN running stats."""
+    from fseend_tpu.models import ls_eend
+
+    cfg, params, state, batch = _ls_train_fixture(rng)
+    ref = ls_eend.ls_forward(params, state, cfg, batch["feats"],
+                             batch["lens"], 4, train=True)
+    got = sp.ls_forward_sp_train(params, state, cfg, batch["feats"],
+                                 batch["lens"], mesh, 4, train=True)
+    np.testing.assert_allclose(np.asarray(got["logits"]),
+                               np.asarray(ref["logits"]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got["emb"]),
+                               np.asarray(ref["emb"]), atol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-5),
+        got["state"], ref["state"])
+
+
+def test_ls_train_step_sp_matches_single_device(mesh, rng):
+    """The FULL sequence-parallel LS train chain == the stock single-device
+    chain at dropout 0: loss and every gradient leaf (grads THROUGH the
+    shard_map — all_gather transposes to psum_scatter, halos to reverse
+    ppermutes).  Then one assembled SP optimizer step runs end to end."""
+    import optax
+
+    from fseend_tpu.train import trainer as trainer_lib
+
+    cfg, params, state, batch = _ls_train_fixture(rng)
+    task = trainer_lib.TaskConfig(model="ls", label_mode="fixed",
+                                  masked_emb_loss=True)
+    key = jax.random.PRNGKey(7)
+
+    def fwd_sp(task_, cfg_, p, ms, feats, lens, n_slots, train, rngs):
+        return sp.ls_forward_sp_train(p, ms, cfg_, feats, lens, mesh,
+                                      n_slots, "data", train=train, rngs=rngs)
+
+    def loss_ref(p):
+        return trainer_lib.compute_loss(task, cfg, p, state, batch, key,
+                                        train=True)
+
+    def loss_sp(p):
+        return trainer_lib.compute_loss(task, cfg, p, state, batch, key,
+                                        train=True, forward_fn=fwd_sp)
+
+    (l1, _), g1 = jax.value_and_grad(loss_ref, has_aux=True)(params)
+    (l2, _), g2 = jax.value_and_grad(loss_sp, has_aux=True)(params)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    for (path, ours), ref in zip(jax.tree_util.tree_flatten_with_path(g2)[0],
+                                 jax.tree.leaves(g1)):
+        ours, ref = np.asarray(ours), np.asarray(ref)
+        tol = max(1e-5 * float(np.abs(ref).max()), 1e-9)
+        assert np.abs(ours - ref).max() <= tol, (
+            f"gradient mismatch at {jax.tree_util.keystr(path)}: "
+            f"{np.abs(ours - ref).max():.3e} > {tol:.3e}")
+
+    tx = optax.adam(1e-3)
+    st = trainer_lib.TrainState.create(params, state, tx)
+    step_sp = sp.make_ls_train_step_sp(task, cfg, tx, mesh, donate=False)
+    st, m = step_sp(st, batch, key)
+    assert np.isfinite(float(m["tot_loss"])) and int(st.step) == 1
+    ref_ms = trainer_lib.compute_loss(task, cfg, params, state, batch, key,
+                                      train=True)[1][0]
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-6), st.model_state, ref_ms)
+
+
+def test_ls_train_step_sp_dropout_runs(mesh, rng):
+    """Dropout > 0 on the LS SP step: per-shard iid masks — the step must
+    run, produce finite losses, and be rng-deterministic."""
+    import optax
+
+    from fseend_tpu.train import trainer as trainer_lib
+
+    cfg, params, state, batch = _ls_train_fixture(rng, dropout=0.1)
+    task = trainer_lib.TaskConfig(model="ls", label_mode="fixed",
+                                  masked_emb_loss=True)
+    tx = optax.adam(1e-3)
+    step_sp = sp.make_ls_train_step_sp(task, cfg, tx, mesh, donate=False)
+    key = jax.random.PRNGKey(3)
+    st = trainer_lib.TrainState.create(params, state, tx)
+    _, m1 = step_sp(st, batch, key)
+    st = trainer_lib.TrainState.create(params, state, tx)
+    _, m2 = step_sp(st, batch, key)
+    assert np.isfinite(float(m1["tot_loss"]))
+    np.testing.assert_allclose(float(m1["tot_loss"]), float(m2["tot_loss"]))
