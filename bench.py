@@ -306,8 +306,11 @@ def _mode_train(cfg, rng):
             # JSON must print even if the compile never returns.  The
             # fused-dec variant additionally gets a 600 s personal cap so a
             # doomed compile can't starve the modes behind it.
-            with _hard_deadline(f"train[{variant}]",
-                                max_s=600 if variant != "xla" else None):
+            with _hard_deadline(
+                    f"train[{variant}]",
+                    max_s=(float(os.environ.get("BENCH_FUSED_DEC_CAP_S",
+                                                "600"))
+                           if variant != "xla" else None)):
                 # fresh leaf copies per variant: the donate=True step
                 # deletes the state buffers, and TrainState.create aliases
                 # its inputs
