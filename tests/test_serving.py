@@ -634,3 +634,40 @@ def test_aot_export_fs_and_duplicate_sid(rng, tmp_path):
                         n_lanes=1, n_slots=4, capacity=8), block=6)
     with pytest.raises(ValueError, match="capacity"):
         fs_cb.submit("big", np.zeros((100, cfg.in_size), np.float32))
+
+
+def test_fs_fast_block_matches_scan_through_server(rng):
+    """StreamingServer(kind=fs): the shipped fs_fast path == the
+    frame-by-frame oracle scan THROUGH the server surface (probs + valid
+    via process_block incl. an odd sub-block split, and the step()
+    route), not just at the model level."""
+    cfg, params, mstate = _family("fs")
+    feats = rng.standard_normal((2, 12, cfg.in_size)).astype(np.float32)
+
+    def run(fast, chunk=None):
+        srv = StreamingServer(kind="fs", cfg=cfg, params=params,
+                              model_state=mstate, n_lanes=2, n_slots=4,
+                              capacity=32, fs_fast=fast,
+                              fs_fast_chunk=chunk)
+        p, v = srv.process_block(feats)
+        return np.asarray(p), np.asarray(v)
+
+    p_ref, v_ref = run(False)
+    for chunk in (None, 3, 1):
+        p, v = run(True, chunk)
+        np.testing.assert_array_equal(v, v_ref)
+        np.testing.assert_allclose(p, p_ref, atol=2e-5)
+
+    # step() route (K=1 fast block) == the scan's step
+    fast_srv = StreamingServer(kind="fs", cfg=cfg, params=params,
+                               model_state=mstate, n_lanes=2, n_slots=4,
+                               capacity=32, fs_fast=True)
+    slow_srv = StreamingServer(kind="fs", cfg=cfg, params=params,
+                               model_state=mstate, n_lanes=2, n_slots=4,
+                               capacity=32, fs_fast=False)
+    for t in range(6):
+        pf, vf = fast_srv.step(feats[:, t])
+        ps, vs = slow_srv.step(feats[:, t])
+        np.testing.assert_array_equal(np.asarray(vf), np.asarray(vs))
+        np.testing.assert_allclose(np.asarray(pf), np.asarray(ps),
+                                   atol=2e-5)

@@ -22,6 +22,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache (same dir bench.py uses): these kernels take
+# 10-25 min of remote AOT compile per config — pay it once
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+
 from fseend_tpu.kernels.dec_train_fusion_pallas import fused_fusion_layer
 from fseend_tpu.models import ls_eend
 
