@@ -293,9 +293,18 @@ def _mode_train(cfg, rng):
     # model can't see inside pallas custom calls — same rule as serving).
     flops_xla_tr = None
     best3 = (0.0, None)
+    # fused-dec runs its kernels at L=128 regardless of the swept encoder
+    # chunk: the 2026-08-19 chip probes showed the kernel at the bench's
+    # L=125 fails Mosaic ("infer-vector-layout: unsupported shape cast")
+    # and blows the compile helper, while L=128 — the MXU tile — compiles
+    # in 284 s and runs at production dims.  gamma=1 chunkwise retention
+    # is chunk-size invariant up to the group-norm eps, so the two
+    # variants stay comparable (each at its own best operating point).
+    fused_L = int(os.environ.get("BENCH_FUSED_DEC_CHUNK", "128"))
     for variant, vcfg in (
             ("xla", tcfg),
-            ("fused-dec", dataclasses.replace(tcfg, use_fused_dec=True))):
+            ("fused-dec", dataclasses.replace(tcfg, use_fused_dec=True,
+                                              fused_dec_chunk=fused_L))):
         if variant == "fused-dec" and os.environ.get("BENCH_NO_PALLAS"):
             continue
         if variant == "fused-dec" and not _budget_ok("fused-dec train", 240):

@@ -312,8 +312,18 @@ def _decode_fused(params: Params, cfg: LSEENDConfig, emb: jnp.ndarray,
          jnp.broadcast_to(pe[None, :, None, :], (B, n_slots, T, D))], axis=-1)
     x = nn.linear(params["dec"]["convert"], x)           # (B, C, T, D)
     L = cfg.fused_dec_chunk or cfg.chunk_size
-    if T % L != 0:
-        L = cfg.chunk_size
+    # an explicitly-chosen internal chunk must WIN even when it does not
+    # divide T: retention + the causal per-frame layers never look ahead,
+    # so end-padding the slot grid is exact on the first T frames (pinned
+    # by tests/test_dec_train_fusion.py::test_internal_chunk_pads_exactly).
+    # This matters on real TPUs: Mosaic rejects the kernel at non-8-aligned
+    # chunks (L=125 hit "infer-vector-layout: unsupported shape cast" +
+    # compile-helper OOM on 2026-08-19; L=128 compiles in 284 s and runs),
+    # so production trains set fused_dec_chunk=128 regardless of the
+    # encoder's swept chunk_size.
+    Tpad = (-T) % L
+    if Tpad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, Tpad), (0, 0)))
     interpret = jax.default_backend() != "tpu"
     for i, lp in enumerate(params["dec"]["layers"]):
         if train and rs[i] is not None and cfg.dropout > 0.0:
@@ -323,6 +333,8 @@ def _decode_fused(params: Params, cfg: LSEENDConfig, emb: jnp.ndarray,
             seed = jnp.zeros((1, 1), jnp.int32)
             rate = 0.0
         x = fused_fusion_layer(lp, x, seed, cfg.n_heads, L, rate, interpret)
+    if Tpad:
+        x = x[:, :, :T]
     return x.swapaxes(1, 2)                              # (B, T, C, D)
 
 

@@ -240,3 +240,32 @@ def test_bf16_close_to_f32(setup):
                       if x.dtype == jnp.float32 else x, params)
     out = ls_eend.decode(pb, cfgF, emb32.astype(jnp.bfloat16), C, train=False)
     assert float(jnp.abs(out.astype(jnp.float32) - ref).max()) < 0.15
+
+
+def test_internal_chunk_pads_exactly(setup):
+    """An explicit fused_dec_chunk that does not divide T end-pads the slot
+    grid instead of silently falling back to chunk_size (real-TPU Mosaic
+    rejects non-8-aligned chunks, so the explicit aligned choice must win).
+    Causality makes the padding exact: the padded run's first T frames ==
+    the same-L unpadded oracle on a longer sequence that shares the prefix
+    — which itself is pinned == the XLA chunkwise path."""
+    cfg, params, _, rng = setup
+    B, C, T_long, T = 2, 4, 20, 18
+    emb_long = jnp.asarray(
+        rng.standard_normal((B, T_long, cfg.n_units)), jnp.float32)
+    # oracle at L=4 (divides 20, no padding) — exact vs XLA by
+    # test_parity_at_every_chunk_size
+    ref = ls_eend.decode(
+        params, dataclasses.replace(cfg, chunk_size=4, use_fused_dec=True),
+        emb_long, C, train=False)
+    xla = ls_eend.decode(params, dataclasses.replace(cfg, chunk_size=4),
+                         emb_long, C, train=False)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(xla), atol=2e-5)
+    # padded run: T=18 % L=4 != 0 -> pads to 20 internally
+    out = ls_eend.decode(
+        params, dataclasses.replace(cfg, chunk_size=6, use_fused_dec=True,
+                                    fused_dec_chunk=4),
+        emb_long[:, :T], C, train=False)
+    assert out.shape[1] == T
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref[:, :T]),
+                               atol=2e-5)
