@@ -671,3 +671,33 @@ def test_fs_fast_block_matches_scan_through_server(rng):
         np.testing.assert_array_equal(np.asarray(vf), np.asarray(vs))
         np.testing.assert_allclose(np.asarray(pf), np.asarray(ps),
                                    atol=2e-5)
+
+
+def test_multichip_fs_fast_lane_sharded(rng):
+    """The FS fast-block server shards its lane axis over the mesh (pure
+    XLA — GSPMD partitions it, zero cross-chip collectives): sharded ==
+    single-device across two consecutive blocks."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices (see tests/conftest.needs_mesh)")
+    from fseend_tpu.parallel import mesh as pmesh
+    from fseend_tpu.serving.runtime import shard_server_over_mesh
+
+    cfg, params, mstate = _family("fs")
+    blocks = [rng.standard_normal((8, 6, cfg.in_size)).astype(np.float32)
+              for _ in range(2)]
+    ref_srv = StreamingServer(kind="fs", cfg=cfg, params=params,
+                              model_state=mstate, n_lanes=8, n_slots=4,
+                              capacity=32)
+    mesh = pmesh.make_mesh(n_data=8, n_model=1)
+    srv = StreamingServer(kind="fs", cfg=cfg, params=params,
+                          model_state=mstate, n_lanes=8, n_slots=4,
+                          capacity=32)
+    with jax.set_mesh(mesh):
+        shard_server_over_mesh(srv, mesh)
+        for blk in blocks:
+            p_ref, v_ref = ref_srv.process_block(blk)
+            p_sh, v_sh = srv.process_block(blk)
+            np.testing.assert_array_equal(np.asarray(v_sh),
+                                          np.asarray(v_ref))
+            np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref),
+                                       atol=1e-5)
