@@ -28,6 +28,8 @@ per-head k/v so each step is O(t * d) attention + O(d^2) projections.
 from __future__ import annotations
 
 import dataclasses
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -508,7 +510,7 @@ def fs_blockstream_step(params: Params, state: Params, cfg: FSEENDConfig,
 
 def _cached_attention_block_perlane(attn_p: Params, x_q: jnp.ndarray,
                                     cache: Params, start: jnp.ndarray,
-                                    min_pos: int = 0):
+                                    min_pos: int = 0, flash: bool = False):
     """K-query attention against a fixed-capacity cache with PER-LANE write
     positions (lanes serve independent streams — continuous batching).
 
@@ -524,20 +526,39 @@ def _cached_attention_block_perlane(attn_p: Params, x_q: jnp.ndarray,
 
     new_k = jax.vmap(upd)(cache["k"], k, start)
     new_v = jax.vmap(upd)(cache["v"], v, start)
-    pos = jnp.arange(cap)
-    qpos = start[:, None] + jnp.arange(K)[None, :]       # (B, K)
-    # the self position is ALWAYS attendable: a pre-warm-up decoder query
-    # (qpos < min_pos) would otherwise see an all-masked row -> NaN, and the
-    # NaN output poisons the NEXT layer's cache writes.  For queries past
-    # min_pos the self position already satisfies the standard condition,
-    # so this changes nothing on valid frames (their garbage-free outputs
-    # are what the parity tests pin).
-    ok = ((pos[None, None, :] <= qpos[:, :, None])
-          & (pos[None, None, :] >= min_pos)) \
-        | (pos[None, None, :] == qpos[:, :, None])
-    mask = jnp.where(ok, 0.0, nn.NEG_INF)                # (B, K, cap)
-    mask = mask.reshape((mask.shape[0],) + (1,) * (q.ndim - 3) + (K, cap))
-    out = nn.mha_core(q, new_k, new_v, mask)
+    if flash:
+        # online-softmax decode: the (B, ..., K, cap) f32 score tensor —
+        # the dominant HBM traffic of the fast block (~3.1 GB per dec
+        # layer per 125-frame sub-block at 64 lanes/cap 2048) — never
+        # leaves VMEM.  Same mask semantics as the XLA path below
+        # (parity-tested incl. the pre-warm-up self-position rule).
+        from fseend_tpu.kernels.cached_attention_pallas import (
+            flash_cached_attention_perlane)
+
+        lead = q.shape[:-2]                              # (B, ..., H)
+        R = math.prod(lead)
+        out = flash_cached_attention_perlane(
+            q.reshape(R, K, -1), new_k.reshape(R, cap, -1),
+            new_v.reshape(R, cap, -1), start,
+            rows_per_lane=R // q.shape[0], min_pos=min_pos,
+            interpret=jax.default_backend() != "tpu")
+        out = out.reshape(*lead, K, -1)
+    else:
+        pos = jnp.arange(cap)
+        qpos = start[:, None] + jnp.arange(K)[None, :]   # (B, K)
+        # the self position is ALWAYS attendable: a pre-warm-up decoder
+        # query (qpos < min_pos) would otherwise see an all-masked row ->
+        # NaN, and the NaN output poisons the NEXT layer's cache writes.
+        # For queries past min_pos the self position already satisfies the
+        # standard condition, so this changes nothing on valid frames
+        # (their garbage-free outputs are what the parity tests pin).
+        ok = ((pos[None, None, :] <= qpos[:, :, None])
+              & (pos[None, None, :] >= min_pos)) \
+            | (pos[None, None, :] == qpos[:, :, None])
+        mask = jnp.where(ok, 0.0, nn.NEG_INF)            # (B, K, cap)
+        mask = mask.reshape((mask.shape[0],) + (1,) * (q.ndim - 3)
+                            + (K, cap))
+        out = nn.mha_core(q, new_k, new_v, mask)
     out = nn._merge_heads(out)
     return nn.linear(attn_p["out_proj"], out), {"k": new_k, "v": new_v}
 
@@ -563,7 +584,7 @@ def fs_framestream_block(params: Params, state: Params, cfg: FSEENDConfig,
     new_enc_kv = []
     for lp, cache in zip(params["enc"]["layers"], state["enc_kv"]):
         a, new_cache = _cached_attention_block_perlane(
-            lp["self_attn"], h, cache, t)
+            lp["self_attn"], h, cache, t, flash=cfg.use_flash_attn)
         h = nn.layer_norm(lp["norm1"], h + a)
         h = nn.layer_norm(lp["norm2"], h + nn.ff_block(lp, h))
         new_enc_kv.append(new_cache)
@@ -590,7 +611,8 @@ def fs_framestream_block(params: Params, state: Params, cfg: FSEENDConfig,
     for lp, cache in zip(params["dec"]["layers"], state["dec_kv"]):
         xt = x.swapaxes(1, 2)                            # (B, C, K, D)
         a, new_cache = _cached_attention_block_perlane(
-            lp["time_attn"], xt, cache, t, min_pos=cfg.conv_delay)
+            lp["time_attn"], xt, cache, t, min_pos=cfg.conv_delay,
+            flash=cfg.use_flash_attn)
         xt = nn.layer_norm(lp["norm11"], xt + a)
         x = xt.swapaxes(1, 2)
         s = nn.mha(lp["spk_attn"], x, x, x, None)

@@ -193,3 +193,44 @@ def test_framestream_per_lane_clock_skew(model, rng):
     np.testing.assert_array_equal(np.asarray(vd[1]), np.asarray(vd_s[1]))
     # lane 0 at clock 12 emits VALID frames for the whole second block
     assert np.asarray(vd)[0].all()
+
+
+def test_framestream_flash_matches_xla(model, rng):
+    """use_flash_attn routes the fast block's cached attention through the
+    per-lane online-softmax kernel (interpret mode off-TPU): probs, valid
+    and carried caches == the XLA fast block, across warm-up (the
+    min_pos/self-position edge where a fully-masked tile precedes the
+    first finite score), odd block splits and the flush tail."""
+    import dataclasses
+
+    params, state = model
+    B, T = 2, 17
+    cap = 32
+    cfgF = dataclasses.replace(CFG, use_flash_attn=True)
+    xs = jnp.asarray(rng.standard_normal((B, T, CFG.in_size)), jnp.float32)
+    pad = jnp.zeros((B, CFG.conv_delay, CFG.in_size), jnp.float32)
+    seq = jnp.concatenate([xs, pad], axis=1)
+    flush = jnp.broadcast_to(
+        (jnp.arange(T + CFG.conv_delay) >= T)[None], (B, T + CFG.conv_delay))
+
+    def run(cfg):
+        st = M.fs_stream_init(cfg, B, cap, 4)
+        outs, vals = [], []
+        for lo, hi in ((0, 5), (5, 6), (6, T + CFG.conv_delay)):
+            st, (lg, vd) = M.fs_framestream_block(
+                params, st, cfg, state["bn"], seq[:, lo:hi], 4,
+                flush[:, lo:hi])
+            outs.append(lg)
+            vals.append(vd)
+        return jnp.concatenate(outs, 1), jnp.concatenate(vals, 1), st
+
+    lg_ref, vd_ref, st_ref = run(CFG)
+    lg_fl, vd_fl, st_fl = run(cfgF)
+    np.testing.assert_array_equal(np.asarray(vd_fl), np.asarray(vd_ref))
+    # compare only VALID frames: pre-warm-up outputs are ephemeral garbage
+    # in both paths but not bit-matched (different masked-row arithmetic)
+    v = np.asarray(vd_ref)
+    np.testing.assert_allclose(np.asarray(lg_fl)[v], np.asarray(lg_ref)[v],
+                               atol=3e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=3e-5), st_fl, st_ref)

@@ -59,12 +59,15 @@ def main():
     rng = np.random.default_rng(0)
     xs = jax.device_put(jnp.asarray(
         rng.standard_normal((args.lanes, args.block, cfg.in_size)), dt))
+    import dataclasses
     rows = []
-    for L in (int(c) for c in args.chunks.split(",")):
+    for L, flash in ((int(c), f) for f in (False, True)
+                     for c in args.chunks.split(",")):
         if args.block % L:
             continue
         try:
-            srv = StreamingServer(kind="fs", cfg=cfg, params=params,
+            vcfg = dataclasses.replace(cfg, use_flash_attn=flash)
+            srv = StreamingServer(kind="fs", cfg=vcfg, params=params,
                                   model_state=mstate, n_lanes=args.lanes,
                                   n_slots=cfg.max_nspks, capacity=args.cap,
                                   dtype=dt, fs_fast=True, fs_fast_chunk=L)
@@ -83,15 +86,16 @@ def main():
             _sync(p)
             el = time.perf_counter() - t0
             fps = args.lanes * args.block * nrep / el
-            rows.append({"L": L, "lanes": args.lanes, "cap": args.cap,
+            rows.append({"L": L, "flash": flash, "lanes": args.lanes,
+                         "cap": args.cap,
                          "ms_per_frame": round(el / (args.block * nrep) * 1e3,
                                                3),
                          "frames_per_sec": round(fps, 1)})
             print(json.dumps(rows[-1]), flush=True)
             del srv
         except Exception as e:  # pragma: no cover — chip-only
-            print(f"L={L} FAIL {type(e).__name__}: {str(e)[:200]}",
-                  flush=True)
+            print(f"L={L} flash={flash} FAIL {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
     print(json.dumps(rows))
 
 
