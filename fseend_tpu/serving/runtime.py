@@ -80,8 +80,13 @@ class StreamingServer:
                                  and self.n_lanes == 128
                                  and jax.default_backend() == "tpu")
         if self.frame_kernel and self.kind != "ls":
-            raise ValueError("frame_kernel=True is LS-only (the FS decoder's "
-                             "growing KV caches do not fit VMEM residency)")
+            raise ValueError(
+                "frame_kernel=True is LS-only (the FS decoder's growing KV "
+                "caches do not fit VMEM residency). FS per-frame serving is "
+                "covered by the default fs_fast=True exact fast block "
+                "(measured 55x the frame scan; docs/results/"
+                "fs_perframe_probe_r5.json), optionally with "
+                "cfg.use_flash_attn for the online-softmax cache read.")
         self.state = self._init_state()
         # host-side copy: the live state's buffers are DONATED by the jitted
         # steps, so aliasing them here would leave _reset closing over
