@@ -172,6 +172,122 @@ def part_b(cfg, S=4):
     return rows
 
 
+def part_c(cfg, B=None, T=None, S=4):
+    B = B or int(os.environ.get("SWEEP_B", "16"))
+    T = T or int(os.environ.get("SWEEP_T", "500"))
+    """Component breakdown of the SHIPPED round-5 default train step
+    (bf16, chunk 125, fused-dec L=128) — part A profiles the f32 XLA
+    path, which round 5 no longer ships."""
+    import dataclasses as _dc
+
+    train_chunk = int(os.environ.get("SWEEP_CHUNK", "125"))
+    fused_L = int(os.environ.get("SWEEP_FUSED_CHUNK", "128"))
+    # SWEEP_SKIP_FUSED=1: CPU smoke mode — the fused kernel only runs in
+    # interpret mode off-TPU, far too slow even at toy dims
+    skip_fused = bool(os.environ.get("SWEEP_SKIP_FUSED"))
+    vcfg = _dc.replace(cfg, chunk_size=train_chunk,
+                       use_fused_dec=not skip_fused,
+                       fused_dec_chunk=fused_L)
+    print(f"=== C. component breakdown of the shipped step "
+          f"(B={B}, T={T}, bf16, chunk={train_chunk}, fused L={fused_L}) ===",
+          flush=True)
+    rng = np.random.default_rng(0)
+    params, mstate = ls_eend.init_ls_eend(jax.random.PRNGKey(0), vcfg)
+    batch = make_batch(rng, B, T, S, vcfg.in_size)
+    task = trainer.TaskConfig(model="ls", label_mode="fixed",
+                              masked_emb_loss=True, compute_dtype="bf16")
+    tx = optim.build_optimizer("noam", d_model=vcfg.n_units,
+                               warmup_steps=100_000)
+    state = trainer.TrainState.create(params, mstate, tx)
+    key = jax.random.PRNGKey(1)
+
+    # donate=True matches bench.py's fused-dec variant exactly, so the
+    # production compile cache entry is reused (the kernel's cold compile
+    # is ~284 s through the relay)
+    tstep = trainer.make_train_step(task, vcfg, tx, donate=True)
+    # private copy: donation must not invalidate `params`, reused below
+    st = jax.tree.map(jnp.array, state)
+    st, met = tstep(st, batch, key)
+    bench._sync(met["tot_loss"])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        st, met = tstep(st, batch, key)
+    bench._sync(met["tot_loss"])
+    ms = (time.perf_counter() - t0) / 10 * 1e3
+    print(f"full train step:            {ms:8.2f} ms", flush=True)
+
+    vg = jax.jit(lambda p: jax.value_and_grad(
+        lambda q: trainer.compute_loss(task, vcfg, q, mstate, batch, key,
+                                       train=True)[0])(p)[1])
+    ms_g, _ = timeit(lambda: vg(params))
+    print(f"fwd+bwd (no optimizer):     {ms_g:8.2f} ms", flush=True)
+
+    bf16 = lambda t: jax.tree.map(  # noqa: E731
+        lambda a: a.astype(jnp.bfloat16)
+        if a.dtype == jnp.float32 else a, t)
+    pb, xb = bf16(params), batch["feats"].astype(jnp.bfloat16)
+
+    enc_g = jax.jit(lambda p: jax.grad(
+        lambda q: jnp.sum(ls_eend.encode(q, mstate, vcfg, xb, train=True,
+                                         rngs=None, time_mode="chunkwise")[0]
+                          .astype(jnp.float32)))(p))
+    ms_e, _ = timeit(lambda: enc_g(pb))
+    print(f"encoder fwd+bwd (bf16):     {ms_e:8.2f} ms", flush=True)
+
+    emb = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (B, T, vcfg.n_units)), jnp.bfloat16)
+    dec_variants = [("xla", _dc.replace(vcfg, use_fused_dec=False))]
+    if not skip_fused:
+        dec_variants.insert(0, ("fused", vcfg))
+    for name, dcfg in dec_variants:
+        dec_g = jax.jit(lambda p, c=dcfg: jax.grad(
+            lambda q: jnp.sum(ls_eend.decode(q, c, emb, S + 2, train=True,
+                                             rngs=None, time_mode="chunkwise")
+                              .astype(jnp.float32)))(p))
+        ms_d, _ = timeit(lambda: dec_g(pb))
+        print(f"decoder fwd+bwd ({name:5s}):    {ms_d:8.2f} ms", flush=True)
+
+    # loss tail on FIXED model outputs: label protocol + BCE + emb-loss +
+    # DER counters + their backward into (logits, emb)
+    from fseend_tpu.train import labels as labels_lib
+    logits = jnp.asarray(rng.standard_normal((B, T, S + 2)), jnp.float32)
+    embf = emb.astype(jnp.float32)
+
+    def loss_tail(lg, e):
+        slot_labels, slot_mask = labels_lib.prepare_labels(
+            batch["labels"], batch["lens"], batch["n_spk"])
+        pit = losses.standard_bce_loss(lg, slot_labels, batch["lens"],
+                                       slot_mask, label_delay=0)
+        el = losses.emb_consistency_loss_ls(e, slot_labels, batch["lens"])
+        real_mask = jnp.arange(1, S + 1)[None, :] <= batch["n_spk"][:, None]
+        counters = losses.diarization_error_counters(
+            jax.lax.stop_gradient(lg[..., 1:-1]), slot_labels[..., 1:-1],
+            batch["lens"], real_mask, label_delay=0)
+        return pit + 0.01 * el + 0.0 * sum(
+            jnp.sum(v.astype(jnp.float32)) for v in counters.values())
+
+    tail_g = jax.jit(lambda lg, e: jax.grad(loss_tail, argnums=(0, 1))(lg, e))
+    ms_t, _ = timeit(lambda: tail_g(logits, embf))
+    print(f"loss tail fwd+bwd:          {ms_t:8.2f} ms", flush=True)
+
+    # the logits matmul itself: emb (B,T,D) x attractors (B,T,C,D)
+    attr = jnp.asarray(rng.standard_normal((B, T, S + 2, vcfg.n_units)),
+                       jnp.bfloat16)
+
+    def logits_fn(e, a):
+        en = e / jnp.maximum(jnp.linalg.norm(e.astype(jnp.float32), axis=-1,
+                                             keepdims=True), 1e-12).astype(e.dtype)
+        an = a / jnp.maximum(jnp.linalg.norm(a.astype(jnp.float32), axis=-1,
+                                             keepdims=True), 1e-12).astype(a.dtype)
+        return jnp.sum(jnp.einsum("btd,btcd->btc", en, an).astype(jnp.float32))
+
+    lg_g = jax.jit(lambda e, a: jax.grad(logits_fn, argnums=(0, 1))(e, a))
+    ms_lg, _ = timeit(lambda: lg_g(emb, attr))
+    print(f"l2norm+logits fwd+bwd:      {ms_lg:8.2f} ms", flush=True)
+    print(f"(optimizer+overhead: step - fwd+bwd = {ms - ms_g:8.2f} ms)",
+          flush=True)
+
+
 if __name__ == "__main__":
     cfg = ls_eend.LSEENDConfig()
     part = os.environ.get("SWEEP_PART", "AB")
@@ -180,3 +296,5 @@ if __name__ == "__main__":
         part_b(cfg)
     if "A" in part:
         part_a(cfg)
+    if "C" in part:
+        part_c(cfg)
